@@ -1,0 +1,101 @@
+"""find_clusters — DataFrame API for cluster discovery.
+
+Rebuild of clustertracking/find.py::find_clusters (SURVEY.md §3.2): groups
+candidate feature coordinates into clusters by transitive <=separation
+overlap, per frame, adding ``cluster`` (int id, consecutive within the
+DataFrame) and ``cluster_size`` columns.
+
+Backends: ``'host'`` (cKDTree + union-find, exact reference semantics) or
+``'device'`` (the TPU label-propagation kernel in ops/find.py).  Both
+produce identical groupings; ids are canonicalized to first-appearance
+order so the outputs match exactly.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .ops.find import (
+    cluster_sizes,
+    connected_components,
+    host_connected_components,
+)
+from .utils import guess_pos_columns, validate_tuple
+
+__all__ = ["find_clusters"]
+
+
+def _canonicalize(labels: np.ndarray) -> np.ndarray:
+    """Root labels → consecutive ids in order of first appearance."""
+    out = np.empty(len(labels), dtype=np.int64)
+    mapping = {}
+    for i, lab in enumerate(labels):
+        if lab not in mapping:
+            mapping[lab] = len(mapping)
+        out[i] = mapping[lab]
+    return out
+
+
+def _labels_device(coords: np.ndarray, separation) -> np.ndarray:
+    import jax.numpy as jnp
+
+    N = len(coords)
+    chunk = 256
+    Npad = max(chunk, ((N + chunk - 1) // chunk) * chunk)
+    pad = np.zeros((Npad, coords.shape[1]), dtype=np.float32)
+    pad[:N] = coords
+    valid = np.zeros(Npad, dtype=bool)
+    valid[:N] = True
+    labels = connected_components(
+        jnp.asarray(pad), jnp.asarray(valid), np.asarray(separation,
+                                                         dtype=np.float32),
+        row_chunk=chunk,
+    )
+    return np.asarray(labels)[:N]
+
+
+def find_clusters(
+    f: pd.DataFrame,
+    separation,
+    pos_columns: Optional[list] = None,
+    t_column: str = "frame",
+    backend: str = "host",
+) -> pd.DataFrame:
+    """Assign ``cluster`` / ``cluster_size`` columns (per frame).
+
+    Matches the reference contract: clusters are connected components of
+    the "pairwise distance <= separation" graph (transitive chains merge).
+    ``separation`` may be scalar or per-axis (anisotropic).
+    """
+    if pos_columns is None:
+        pos_columns = guess_pos_columns(f)
+    ndim = len(pos_columns)
+    separation = validate_tuple(separation, ndim)
+
+    f = f.copy()
+    f["cluster"] = -1
+    if t_column in f.columns:
+        groups = f.groupby(t_column, sort=False).indices.items()
+    else:
+        groups = [(0, np.arange(len(f)))]
+
+    next_id = 0
+    cluster_col = np.full(len(f), -1, dtype=np.int64)
+    for _, idx in groups:
+        coords = f.iloc[idx][pos_columns].to_numpy(dtype=float)
+        if backend == "host":
+            labels = host_connected_components(coords, separation)
+        elif backend == "device":
+            labels = _labels_device(coords, separation)
+        else:
+            raise ValueError(f"Unknown backend {backend!r}")
+        ids = _canonicalize(labels) + next_id
+        cluster_col[idx] = ids
+        next_id = ids.max() + 1 if len(ids) else next_id
+
+    f["cluster"] = cluster_col
+    sizes = f.groupby("cluster")["cluster"].transform("size")
+    f["cluster_size"] = sizes.astype(np.int64)
+    return f

@@ -1,0 +1,109 @@
+"""Frame-to-frame trajectory linking (the trackpy.link_df delegation,
+pulled in-scope per BASELINE.json).
+
+The reference pipeline delegates linking to trackpy's Crocker–Grier linker
+(SURVEY.md §2 "External: linking"): nearest-neighbor assignment within
+``search_range``, with ``memory`` frames of tolerance for vanishing
+particles.  This module provides the host implementation with deterministic
+semantics; the on-device `lax.scan` linker for the dense pipeline lives in
+ops/link.py.
+
+Tie-breaking contract (documented per SURVEY.md §7 hard-parts #5): candidate
+(track, feature) pairs within ``search_range`` are assigned greedily in
+order of increasing distance.  On unambiguous frames (every feature has at
+most one candidate track and vice versa) this matches trackpy exactly; on
+contended subnets trackpy solves a global optimum and may differ — parity
+tests only assert the unambiguous cases.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .utils import guess_pos_columns
+
+__all__ = ["link", "link_df"]
+
+
+def link(
+    f: pd.DataFrame,
+    search_range: float,
+    memory: int = 0,
+    pos_columns: Optional[list] = None,
+    t_column: str = "frame",
+) -> pd.DataFrame:
+    """Assign a ``particle`` column linking features across frames."""
+    from scipy.spatial import cKDTree
+
+    if pos_columns is None:
+        pos_columns = guess_pos_columns(f)
+    f = f.sort_values(t_column, kind="stable").copy()
+    particle = np.full(len(f), -1, dtype=np.int64)
+
+    # active tracks: id → (position, last_seen_frame)
+    track_pos: list = []
+    track_id: list = []
+    track_seen: list = []
+    next_id = 0
+
+    frames = f.groupby(t_column, sort=True).indices
+    positions_all = f[pos_columns].to_numpy(dtype=float)
+
+    for t, idx in frames.items():
+        pos = positions_all[idx]
+        k = len(idx)
+        assigned = np.full(k, -1, dtype=np.int64)
+
+        # retire stale tracks
+        keep = [
+            i for i, seen in enumerate(track_seen)
+            if t - seen <= memory + 1
+        ]
+        track_pos = [track_pos[i] for i in keep]
+        track_id = [track_id[i] for i in keep]
+        track_seen = [track_seen[i] for i in keep]
+
+        if track_pos and k:
+            tp = np.asarray(track_pos)
+            tree = cKDTree(tp)
+            # all candidate pairs within range, sorted by distance
+            dists, tidx = tree.query(
+                pos, k=min(len(tp), 4),
+                distance_upper_bound=search_range,
+            )
+            dists = np.atleast_2d(dists)
+            tidx = np.atleast_2d(tidx)
+            cand = [
+                (dists[j, c], j, tidx[j, c])
+                for j in range(k)
+                for c in range(dists.shape[1])
+                if np.isfinite(dists[j, c])
+            ]
+            cand.sort()
+            used_tracks = set()
+            for d, j, ti in cand:
+                if assigned[j] >= 0 or ti in used_tracks:
+                    continue
+                assigned[j] = track_id[ti]
+                used_tracks.add(ti)
+                track_pos[ti] = pos[j]
+                track_seen[ti] = t
+
+        for j in range(k):
+            if assigned[j] < 0:
+                assigned[j] = next_id
+                track_pos.append(pos[j])
+                track_id.append(next_id)
+                track_seen.append(t)
+                next_id += 1
+
+        particle[idx] = assigned
+
+    f["particle"] = particle
+    return f.sort_index()
+
+
+# Reference-compatible alias (trackpy.link_df name)
+link_df = link

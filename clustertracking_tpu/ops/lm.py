@@ -1,0 +1,267 @@
+"""Batched masked Levenberg–Marquardt — the scipy.optimize.leastsq
+replacement at the heart of the TPU rebuild (SURVEY.md §7 M1, §3.1).
+
+The reference runs MINPACK's adaptive lmdif/lmder once per cluster inside a
+Python loop; here thousands of independent small least-squares problems run
+in *lockstep* as one jitted ``lax.while_loop``:
+
+- every lane (cluster) shares the same static shapes (bucketing handles
+  variable cluster sizes upstream);
+- converged lanes freeze (their state stops updating) instead of exiting —
+  the masked-lockstep design from SURVEY.md §7 "hard parts #2";
+- damping uses Marquardt scaling (λ·diag(JᵀJ)), the same scaling MINPACK
+  uses, which is what makes sub-pixel parity with scipy achievable;
+- box bounds are handled by projection of the trial step (the reference
+  switches to SLSQP for bounds; projected LM matches its *solutions* on
+  interior optima and is TPU-friendly — SURVEY.md §7 design stance).
+
+The solver is tolerance-compatible with scipy.optimize.leastsq defaults:
+ftol/xtol default to 1.49e-8.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LMResult", "lm_solve", "lm_solve_global"]
+
+
+class LMResult(NamedTuple):
+    x: jax.Array          # [B, V] solution
+    cost: jax.Array       # [B] final sum of squared residuals
+    n_iter: jax.Array     # [B] iterations taken (int32)
+    converged: jax.Array  # [B] bool — hit ftol/xtol (vs iteration cap)
+
+
+def _damped_solve(H, g, lam):
+    """Solve (H + lam*diag(H) + eps*I) delta = -g, batched."""
+    d = jnp.diagonal(H, axis1=-2, axis2=-1)
+    d = jnp.where(d > 1e-12, d, 1e-12)
+    A = H + (lam[..., None] * d)[..., None, :] * jnp.eye(
+        H.shape[-1], dtype=H.dtype
+    )
+    # Small extra Tikhonov floor keeps Cholesky/LU stable in float32.
+    A = A + 1e-10 * jnp.eye(H.shape[-1], dtype=H.dtype)
+    return -jnp.linalg.solve(A, g[..., None])[..., 0]
+
+
+def lm_solve(
+    residual_fn: Callable,
+    residual_jac_fn: Callable,
+    x0: jax.Array,
+    args: Tuple = (),
+    *,
+    max_iter: int = 50,
+    ftol: float = 1.49e-8,
+    xtol: float = 1.49e-8,
+    lam0: float = 1e-3,
+    lam_up: float = 4.0,
+    lam_down: float = 0.25,
+    lam_max: float = 1e10,
+    lower: Optional[jax.Array] = None,
+    upper: Optional[jax.Array] = None,
+    valid: Optional[jax.Array] = None,
+) -> LMResult:
+    """Run lockstep LM on a batch of independent least-squares problems.
+
+    Args:
+      residual_fn: ``f(x, *args) -> r [B, N]``.
+      residual_jac_fn: ``f(x, *args) -> (r [B, N], J [B, N, V])``.
+      x0: [B, V] initial guesses.
+      args: extra arrays forwarded to the residual functions.
+      lower/upper: optional [V] or [B, V] box bounds (projected steps).
+      valid: optional [B] bool — padding lanes (False) are never updated.
+
+    Jit-safe: fixed shapes, ``lax.while_loop`` with an early-exit condition
+    when every lane has converged.
+    """
+    B, V = x0.shape
+    dtype = x0.dtype
+    if valid is None:
+        valid = jnp.ones((B,), dtype=bool)
+
+    def clip(x):
+        if lower is not None:
+            x = jnp.maximum(x, lower)
+        if upper is not None:
+            x = jnp.minimum(x, upper)
+        return x
+
+    x0 = clip(x0)
+
+    def cost_of(r):
+        return jnp.sum(r * r, axis=-1)
+
+    r0 = residual_fn(x0, *args)
+    c0 = cost_of(r0)
+
+    State = Tuple  # (it, x, cost, lam, active, n_iter, converged)
+    init = (
+        jnp.zeros((), jnp.int32),
+        x0,
+        c0,
+        jnp.full((B,), lam0, dtype=dtype),
+        valid,
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), dtype=bool),
+    )
+
+    def cond(state):
+        it, _, _, _, active, _, _ = state
+        return (it < max_iter) & jnp.any(active)
+
+    def body(state):
+        it, x, cost, lam, active, n_iter, converged = state
+        r, J = residual_jac_fn(x, *args)
+        g = jnp.einsum("bnv,bn->bv", J, r)
+        H = jnp.einsum("bnu,bnv->buv", J, J)
+        delta = _damped_solve(H, g, lam)
+        x_trial = clip(x + delta)
+        step = x_trial - x
+        c_trial = cost_of(residual_fn(x_trial, *args))
+        better = c_trial < cost
+
+        accept = active & better
+        x_new = jnp.where(accept[:, None], x_trial, x)
+        cost_new = jnp.where(accept, c_trial, cost)
+        lam_new = jnp.where(
+            accept, lam * lam_down, jnp.minimum(lam * lam_up, lam_max)
+        )
+        lam_new = jnp.where(active, lam_new, lam)
+
+        # Convergence (only meaningful on accepted steps):
+        xnorm = jnp.max(jnp.abs(x), axis=-1)
+        snorm = jnp.max(jnp.abs(step), axis=-1)
+        conv_x = snorm <= xtol * (xtol + xnorm)
+        conv_f = (cost - c_trial) <= ftol * jnp.maximum(cost, 1e-30)
+        # A lane stuck at max damping cannot make progress — freeze it.
+        stuck = lam_new >= lam_max
+        newly_done = active & ((accept & (conv_x | conv_f)) | stuck)
+
+        return (
+            it + 1,
+            x_new,
+            cost_new,
+            lam_new,
+            active & ~newly_done,
+            n_iter + active.astype(jnp.int32),
+            converged | (accept & (conv_x | conv_f)),
+        )
+
+    _, x, cost, _, _, n_iter, converged = jax.lax.while_loop(
+        cond, body, init
+    )
+    return LMResult(x=x, cost=cost, n_iter=n_iter, converged=converged)
+
+
+def lm_solve_global(
+    residual_fn: Callable,
+    residual_jac_fn: Callable,
+    x0: jax.Array,
+    global_slots,
+    args: Tuple = (),
+    *,
+    max_iter: int = 50,
+    ftol: float = 1.49e-8,
+    xtol: float = 1.49e-8,
+    lam0: float = 1e-3,
+    lam_up: float = 4.0,
+    lam_down: float = 0.25,
+    lam_max: float = 1e10,
+    valid: Optional[jax.Array] = None,
+) -> LMResult:
+    """LM with 'global'-mode slots tied across the batch (train_leastsq).
+
+    The reference's train_leastsq builds ONE joint residual spanning many
+    clusters so that 'global' parameters (e.g. inv_series coefficients) are
+    shared (SURVEY.md §3.3).  Here the joint problem keeps its batch
+    structure: per-lane slots stay independent, but slots flagged in
+    ``global_slots`` ([V] bool) are averaged across valid lanes after every
+    update and their gradient/Hessian contributions are summed — i.e. the
+    exact Gauss–Newton system of the joint problem under the block
+    approximation that cross-lane coupling flows only through the shared
+    slots.  One shared damping factor drives all lanes so the joint cost is
+    monotone.
+    """
+    B, V = x0.shape
+    dtype = x0.dtype
+    gmask = jnp.asarray(global_slots, dtype=bool)
+    if valid is None:
+        valid = jnp.ones((B,), dtype=bool)
+    w = valid.astype(dtype)
+    nvalid = jnp.maximum(jnp.sum(w), 1.0)
+
+    def tie(x):
+        """Average global slots across valid lanes, broadcast back."""
+        mean = jnp.sum(x * w[:, None], axis=0) / nvalid
+        return jnp.where(gmask[None, :], mean[None, :], x)
+
+    x0 = tie(x0)
+
+    def total_cost(x):
+        r = residual_fn(x, *args)
+        return jnp.sum(jnp.sum(r * r, axis=-1) * w)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        x0,
+        total_cost(x0),
+        jnp.asarray(lam0, dtype),
+        jnp.asarray(True),
+        jnp.asarray(False),
+    )
+
+    def cond(state):
+        it, _, _, _, active, _ = state
+        return (it < max_iter) & active
+
+    def body(state):
+        it, x, cost, lam, active, converged = state
+        r, J = residual_jac_fn(x, *args)
+        r = r * w[:, None, ...].reshape((B,) + (1,) * (r.ndim - 1))
+        J = J * w.reshape((B,) + (1,) * (J.ndim - 1))
+        g = jnp.einsum("bnv,bn->bv", J, r)
+        H = jnp.einsum("bnu,bnv->buv", J, J)
+        # Tie the shared slots: sum their gradient rows across lanes and
+        # solve lane-local systems with the summed diagonal blocks — a
+        # block-Jacobi step on the joint system, then re-tie.
+        g_shared = jnp.sum(g * gmask[None, :], axis=0)
+        g = jnp.where(gmask[None, :], g_shared[None, :] / nvalid, g)
+        H_shared = jnp.sum(
+            H * (gmask[None, :, None] & gmask[None, None, :]), axis=0
+        )
+        share2d = gmask[None, :, None] & gmask[None, None, :]
+        H = jnp.where(share2d, H_shared[None] / nvalid, H)
+        delta = _damped_solve(H, g, jnp.full((B,), lam, dtype))
+        x_trial = tie(x + delta)
+        c_trial = total_cost(x_trial)
+        better = c_trial < cost
+        x_new = jnp.where(better, x_trial, x)
+        cost_new = jnp.where(better, c_trial, cost)
+        lam_new = jnp.where(
+            better, lam * lam_down, jnp.minimum(lam * lam_up, lam_max)
+        )
+        conv_f = (cost - c_trial) <= ftol * jnp.maximum(cost, 1e-30)
+        snorm = jnp.max(jnp.abs(x_trial - x))
+        conv_x = snorm <= xtol * (xtol + jnp.max(jnp.abs(x)))
+        done = (better & (conv_f | conv_x)) | (lam_new >= lam_max)
+        return (
+            it + 1,
+            x_new,
+            cost_new,
+            lam_new,
+            active & ~done,
+            converged | (better & (conv_f | conv_x)),
+        )
+
+    _, x, cost, _, _, converged = jax.lax.while_loop(cond, body, init)
+    return LMResult(
+        x=x,
+        cost=jnp.full((B,), cost, dtype),
+        n_iter=jnp.zeros((B,), jnp.int32),
+        converged=jnp.full((B,), converged),
+    )

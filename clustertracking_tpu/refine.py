@@ -1,0 +1,625 @@
+"""refine_leastsq / train_leastsq — the core fitting pipeline.
+
+TPU-native rebuild of clustertracking/refine.py (SURVEY.md §3.1, §7).  The
+reference iterates Python-side over frames and clusters, calling
+scipy.optimize.leastsq once per cluster; here the per-cluster loop is
+inverted into *bucketed batches* (SURVEY.md §7 design stance):
+
+- clusters are bucketed by cluster size ``n``; each bucket becomes one
+  jitted dispatch fitting every cluster in lockstep (ops/lm.py);
+- the subimage gather, fit-region mask, parameter packing, LM solve, and
+  the refit-on-shift outer loop (``max_iter``/``max_shift``) ALL run inside
+  one jit — frames are stacked on device and windows are re-gathered with
+  ``lax.dynamic_slice`` whenever a cluster drifts;
+- failure semantics match the reference: fits whose relative RMS residual
+  exceeds ``max_rms_dev`` are rejected (original values kept, ``cost`` set
+  to NaN); the ``cost`` column is the masked RMS residual normalized by the
+  cluster signal scale;
+- ``compute_error=True`` adds per-parameter ``<name>_std`` columns from the
+  Gauss–Newton covariance (cost²·(JᵀJ)⁻¹), the reference's error estimate;
+- constrained buckets (constraints.py) fit a rigid pose exactly instead of
+  running SLSQP; user dicts become weighted penalty rows scaled by
+  ``sqrt(residual_factor)`` (reference default 1e5);
+- clusters bigger than ``max_cluster_size`` spill to the host scipy path
+  (hostref.py) for exact reference behavior on outliers.
+
+API parity (reference signature shape, SURVEY.md §2):
+
+    refine_leastsq(f, reader, diameter, separation=None,
+                   fit_function='gauss', param_mode=None, param_val=None,
+                   constraints=None, bounds=None, compute_error=False,
+                   pos_columns=None, t_column='frame', max_iter=10,
+                   max_shift=1.0, max_rms_dev=1.0, residual_factor=1e5,
+                   **solver options)
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .constraints import (
+    Constraint,
+    pose_dim,
+    pose_to_positions,
+    positions_to_pose,
+    wrap_constraint_dicts,
+)
+from .find import find_clusters
+from .models.packing import ParamLayout, build_layout
+from .models.registry import ModelSpec, get_model
+from .ops.gather import clamp_origins, origins_for, radius_mask
+from .ops.lm import lm_solve, lm_solve_global
+from .ops.residual import make_model_fns, window_offsets
+from .utils import (
+    default_pos_columns,
+    default_size_columns,
+    guess_pos_columns,
+    validate_tuple,
+)
+
+__all__ = ["refine_leastsq", "train_leastsq"]
+
+_LANE_PAD = 32  # lanes are padded to multiples of this (limits retraces)
+
+
+# ---------------------------------------------------------------------------
+# Jitted bucket solvers (cached per static configuration)
+# ---------------------------------------------------------------------------
+def _gather_stack(frames, frame_idx, origins, window_shape):
+    """Gather [B, Npix] windows from stacked frames [T, *S]."""
+
+    def one(fi, origin):
+        start = (fi,) + tuple(origin[d] for d in range(origin.shape[0]))
+        win = jax.lax.dynamic_slice(frames, start, (1,) + window_shape)
+        return win.reshape(-1)
+
+    return jax.vmap(one)(frame_idx, origins)
+
+
+@lru_cache(maxsize=256)
+def _bucket_solver(
+    model: ModelSpec,
+    ndim: int,
+    isotropic: bool,
+    n: int,
+    param_mode_key: tuple,
+    window_shape: tuple,
+    radius: tuple,
+    bounds_key: tuple,
+    constraint: Optional[Constraint],
+    residual_factor: float,
+    max_iter: int,
+    max_shift: float,
+    lm_max_iter: int,
+    ftol: float,
+    xtol: float,
+    compute_error: bool,
+):
+    """Build the jitted lockstep solver for one bucket configuration.
+
+    Cache key is fully static/hashable; jax.jit inside additionally keys on
+    array shapes (padded batch, frame-stack shape).
+    """
+    layout = build_layout(
+        model, ndim, isotropic, n, dict(param_mode_key)
+    )
+    fns = make_model_fns(model, layout, window_shape)
+    pos_idx = np.array(layout.pos_param_idx)
+    V = layout.n_slots
+    Q = pose_dim(constraint) if (
+        constraint is not None and constraint.kind == "rigid"
+    ) else 0
+    fit_dist = bool(constraint and constraint.fit_dist)
+
+    # --- bounds: per-slot arrays from (name, lo, hi) tuples --------------
+    lower = upper = None
+    if bounds_key:
+        lo = np.full(V, -np.inf, np.float32)
+        hi = np.full(V, np.inf, np.float32)
+        for name, b_lo, b_hi in bounds_key:
+            p = layout.param_names.index(name)
+            slots = layout.slot_idx[:, p]
+            for s in slots:
+                if s >= 0:
+                    lo[s] = b_lo
+                    hi[s] = b_hi
+        if Q:  # pose slots are unbounded; shift other-slot bounds
+            lo = np.concatenate([np.full(Q + fit_dist, -np.inf,
+                                         np.float32), lo])
+            hi = np.concatenate([np.full(Q + fit_dist, np.inf,
+                                         np.float32), hi])
+        lower, upper = jnp.asarray(lo), jnp.asarray(hi)
+
+    rigid = constraint is not None and constraint.kind == "rigid"
+    generic = constraint is not None and constraint.kind == "generic"
+    pen_w = math.sqrt(residual_factor)
+
+    def positions_of(vect, params_ref):
+        """Current positions [B, n, D] implied by an optimizer vector."""
+        if rigid:
+            pose = vect[:, : Q + fit_dist]
+            return pose_to_positions(pose, constraint)
+        params = layout.vect_to_params(vect, params_ref)
+        return params[..., pos_idx]
+
+    def params_of(vect, params_ref):
+        if rigid:
+            pos = positions_of(vect, params_ref)
+            params = layout.vect_to_params(
+                vect[:, Q + fit_dist:], params_ref
+            )
+            return params.at[..., pos_idx].set(pos)
+        return layout.vect_to_params(vect, params_ref)
+
+    def vect_of(params, pose=None):
+        v = layout.vect_from_params(params)
+        if rigid:
+            return jnp.concatenate([pose, v], axis=1)
+        return v
+
+    if rigid:
+        def residual(vect, params_ref, pixels, mask, origin, norm):
+            params = params_of(vect, params_ref)
+            img = fns.image_from_params(params, origin)
+            return (img - pixels) * mask / norm[:, None]
+
+        def residual_jac(vect, params_ref, pixels, mask, origin, norm):
+            r = residual(vect, params_ref, pixels, mask, origin, norm)
+            J = jax.jacfwd(
+                lambda v: residual(v, params_ref, pixels, mask, origin,
+                                   norm)
+            )(vect)
+            # jacfwd over batched fn yields [B, Npix, B, Vc]; take diag
+            J = jnp.einsum("bnbv->bnv", J)
+            return r, J
+    elif generic:
+        con_fun = jax.vmap(constraint.fun)
+
+        def residual(vect, params_ref, pixels, mask, origin, norm):
+            r = fns.residual(vect, params_ref, pixels, mask, origin, norm)
+            pos = positions_of(vect, params_ref)
+            pen = pen_w * con_fun(pos)
+            return jnp.concatenate([r, pen.reshape(r.shape[0], -1)], 1)
+
+        def residual_jac(vect, params_ref, pixels, mask, origin, norm):
+            r = residual(vect, params_ref, pixels, mask, origin, norm)
+            J = jax.jacfwd(
+                lambda v: residual(v, params_ref, pixels, mask, origin,
+                                   norm)
+            )(vect)
+            J = jnp.einsum("bnbv->bnv", J)
+            return r, J
+    else:
+        residual = fns.residual
+        residual_jac = fns.residual_jac
+
+    use_global = bool(
+        np.any(layout.global_slots)
+        or (rigid and fit_dist and constraint.dist_mode == "global")
+    )
+    if use_global:
+        gslots = np.zeros(Q + fit_dist + V, dtype=bool) if rigid else \
+            np.zeros(V, dtype=bool)
+        if rigid:
+            if fit_dist and constraint.dist_mode == "global":
+                gslots[Q] = True
+            gslots[Q + fit_dist:] = layout.global_slots
+        else:
+            gslots[:] = layout.global_slots
+
+    @jax.jit
+    def solve(frames, frame_idx, params0, pose0, valid):
+        """frames [T,*S] f32; frame_idx [B] i32; params0 [B,n,P] f32;
+        pose0 [B,Q+fit_dist] (dummy [B,0] when unconstrained);
+        valid [B] bool."""
+        B = params0.shape[0]
+        frame_shape = frames.shape[1:]
+        signal0 = params0[..., layout.signal_param_idx]
+        norm = jnp.maximum(jnp.max(jnp.abs(signal0), axis=1), 1e-6)
+
+        vect0 = vect_of(params0, pose0) if rigid else vect_of(params0)
+
+        def gather(vect, params_ref):
+            pos = positions_of(vect, params_ref)
+            origin = origins_for(pos, window_shape, frame_shape)
+            pixels = _gather_stack(frames, frame_idx, origin, window_shape)
+            mask = radius_mask(pos, origin, window_shape, radius)
+            return pixels, mask, origin, pos
+
+        def outer_cond(state):
+            it, vect, need, rms, conv, iters = state
+            return (it < max_iter) & jnp.any(need)
+
+        def outer_body(state):
+            it, vect, need, rms, conv, iters = state
+            pixels, mask, origin, pos_at = gather(vect, params0)
+            args = (params0, pixels, mask, origin, norm)
+            if use_global:
+                res = lm_solve_global(
+                    residual, residual_jac, vect, tuple(gslots), args,
+                    max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
+                    valid=need,
+                )
+            else:
+                res = lm_solve(
+                    residual, residual_jac, vect, args,
+                    max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
+                    lower=lower, upper=upper, valid=need,
+                )
+            pos_new = positions_of(res.x, params0)
+            shift = jnp.max(
+                jnp.abs(pos_new - pos_at), axis=(1, 2)
+            )
+            npx = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+            rms_new = jnp.sqrt(res.cost / npx)
+            rms = jnp.where(need, rms_new, rms)
+            conv = jnp.where(need, res.converged, conv)
+            iters = iters + jnp.where(need, res.n_iter, 0)
+            need = need & (shift > max_shift)
+            return it + 1, res.x, need, rms, conv, iters
+
+        init = (
+            jnp.int32(0),
+            vect0,
+            valid,
+            jnp.full((B,), jnp.inf, jnp.float32),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+        )
+        _, vect, _, rms, conv, iters = jax.lax.while_loop(
+            outer_cond, outer_body, init
+        )
+        params = params_of(vect, params0)
+
+        if compute_error:
+            pixels, mask, origin, _ = gather(vect, params0)
+            r, J = residual_jac(vect, params0, pixels, mask, origin, norm)
+            H = jnp.einsum("bnu,bnv->buv", J, J)
+            Vc = H.shape[-1]
+            H = H + 1e-12 * jnp.eye(Vc, dtype=H.dtype)
+            cov = jnp.linalg.inv(H)
+            npx = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+            dof = jnp.maximum(npx - Vc, 1.0)
+            sigma2 = jnp.sum(r * r, axis=1) / dof
+            var = jnp.maximum(
+                jnp.diagonal(cov, axis1=-2, axis2=-1), 0.0
+            ) * sigma2[:, None]
+            std_vect = jnp.sqrt(var)
+            if rigid:
+                std_params = jnp.full(params.shape, jnp.nan)
+            else:
+                std_params = layout.vect_to_params(
+                    std_vect, jnp.full(params.shape, jnp.nan)
+                )
+        else:
+            std_params = jnp.zeros((0,))
+
+        return params, rms, conv, iters, std_params
+
+    return solve, layout
+
+
+def _window_shape(n, ndim, radius, separation, frame_shape):
+    """Static window extent per bucket: cluster bbox + radius margin.
+
+    Connected components at threshold `separation` bound an n-chain's
+    bbox by (n-1)*separation per axis (SURVEY.md §3.2 transitivity)."""
+    w = []
+    for d in range(ndim):
+        ext = int(math.ceil((n - 1) * separation[d] + 2 * radius[d])) + 3
+        w.append(min(ext, frame_shape[d]))
+    return tuple(w)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+def _frames_of(reader, frame_numbers):
+    """Fetch frames as a dict {frame_no: ndarray}. Accepts a bare ndarray
+    (single image), a reader supporting __getitem__, or a [T,...] stack."""
+    if isinstance(reader, np.ndarray) and reader.ndim in (2, 3):
+        return {int(t): reader for t in frame_numbers}
+    return {int(t): np.asarray(reader[int(t)]) for t in frame_numbers}
+
+
+def refine_leastsq(
+    f: pd.DataFrame,
+    reader,
+    diameter,
+    separation=None,
+    fit_function="gauss",
+    param_mode: Optional[dict] = None,
+    param_val: Optional[dict] = None,
+    constraints=None,
+    bounds: Optional[dict] = None,
+    compute_error: bool = False,
+    pos_columns: Optional[list] = None,
+    t_column: str = "frame",
+    max_iter: int = 10,
+    max_shift: float = 1.0,
+    max_rms_dev: float = 1.0,
+    residual_factor: float = 1e5,
+    max_cluster_size: int = 8,
+    frames_per_dispatch: int = 8,
+    lm_max_iter: int = 60,
+    ftol: float = 1.49e-8,
+    xtol: float = 1.49e-8,
+    backend_find: str = "host",
+) -> pd.DataFrame:
+    """Simultaneously refine overlapping features cluster-by-cluster.
+
+    DataFrame in/out, matching the reference contract (SURVEY.md §1):
+    requires position columns (+ optionally 'signal', 'size'/'size_*',
+    'frame'); adds/updates refined parameter columns, 'cluster',
+    'cluster_size' and 'cost' (NaN = rejected fit).
+    """
+    if pos_columns is None:
+        pos_columns = guess_pos_columns(f)
+    ndim = len(pos_columns)
+    diameter = validate_tuple(diameter, ndim)
+    radius = tuple(d / 2.0 for d in diameter)
+    if separation is None:
+        separation = diameter
+    separation = validate_tuple(separation, ndim)
+    model = get_model(fit_function)
+    param_val = dict(param_val or {})
+    con_map = wrap_constraint_dicts(constraints, ndim)
+
+    # isotropy: explicit anisotropic size columns win
+    aniso_cols = default_size_columns(ndim, False)
+    isotropic = not any(c in f.columns for c in aniso_cols)
+    size_cols = default_size_columns(ndim, isotropic)
+
+    f = f.copy()
+    if "cluster" not in f.columns:
+        f = find_clusters(
+            f, separation, pos_columns, t_column, backend=backend_find
+        )
+    if t_column not in f.columns:
+        f[t_column] = 0
+
+    # --- initial parameter table -----------------------------------------
+    n_size = len(size_cols)
+    extra_names = list(model.extra_params)
+    P = 2 + ndim + n_size + len(extra_names)
+    param_names = (
+        ["background", "signal"] + pos_columns + size_cols + extra_names
+    )
+
+    if "size" in param_val:
+        size_default_src = param_val["size"]
+    elif isotropic:
+        size_default_src = float(np.mean(radius)) / 2.0
+    else:
+        size_default_src = tuple(r / 2 for r in radius)
+    default_size = np.asarray(
+        validate_tuple(size_default_src, n_size), dtype=float
+    )
+
+    def initial_params(rows, image):
+        k = len(rows)
+        p = np.zeros((k, P))
+        p[:, 0] = param_val.get(
+            "background",
+            rows["background"].to_numpy() if "background" in rows else 0.0,
+        )
+        pos = rows[pos_columns].to_numpy(dtype=float)
+        p[:, 2 : 2 + ndim] = pos
+        if "signal" in rows:
+            p[:, 1] = rows["signal"].to_numpy(dtype=float)
+        else:
+            ipos = np.clip(
+                np.round(pos).astype(int), 0,
+                np.asarray(image.shape) - 1,
+            )
+            p[:, 1] = image[tuple(ipos.T)] - p[:, 0]
+        for j, c in enumerate(size_cols):
+            if c in rows:
+                p[:, 2 + ndim + j] = rows[c].to_numpy(dtype=float)
+            else:
+                p[:, 2 + ndim + j] = default_size[j]
+        for j, name in enumerate(extra_names):
+            if name in param_val:
+                p[:, 2 + ndim + n_size + j] = param_val[name]
+            elif name in rows:
+                p[:, 2 + ndim + n_size + j] = rows[name].to_numpy(
+                    dtype=float
+                )
+            else:
+                p[:, 2 + ndim + n_size + j] = model.default[name]
+        return p
+
+    param_mode_key = tuple(sorted((param_mode or {}).items()))
+    bounds_key = tuple(
+        sorted((k, float(v[0]), float(v[1])) for k, v in
+               (bounds or {}).items())
+    )
+
+    out = f.copy()
+    out["cost"] = np.nan
+    std_cols = {}
+    if compute_error:
+        for name in param_names:
+            std_cols[name] = np.full(len(f), np.nan)
+
+    frame_numbers = sorted(f[t_column].unique())
+    frame_shape = None
+
+    for chunk_start in range(0, len(frame_numbers), frames_per_dispatch):
+        chunk = frame_numbers[chunk_start : chunk_start + frames_per_dispatch]
+        images = _frames_of(reader, chunk)
+        frame_shape = images[int(chunk[0])].shape
+        stack = np.stack(
+            [images[int(t)] for t in chunk], axis=0
+        ).astype(np.float32)
+        frame_local = {int(t): i for i, t in enumerate(chunk)}
+        sub = f[f[t_column].isin(chunk)]
+
+        # group clusters by size
+        for n, grp in sub.groupby("cluster_size"):
+            n = int(n)
+            cluster_ids = grp["cluster"].unique()
+            row_groups = [
+                grp[grp["cluster"] == cid] for cid in cluster_ids
+            ]
+            if n > max_cluster_size:
+                _spill_scipy(
+                    out, row_groups, images, model, ndim, isotropic,
+                    radius, separation, param_names, pos_columns,
+                    size_cols, initial_params, t_column, max_iter,
+                    max_shift, max_rms_dev, param_mode_key,
+                )
+                continue
+
+            B = len(row_groups)
+            Bpad = max(_LANE_PAD, int(np.ceil(B / _LANE_PAD)) * _LANE_PAD)
+            params0 = np.zeros((Bpad, n, P), dtype=np.float32)
+            fidx = np.zeros(Bpad, dtype=np.int32)
+            valid = np.zeros(Bpad, dtype=bool)
+            for b, rows in enumerate(row_groups):
+                t = int(rows[t_column].iloc[0])
+                params0[b] = initial_params(rows, images[t])
+                fidx[b] = frame_local[t]
+                valid[b] = True
+            # pad lanes replicate lane 0 (keeps shapes sane numerically)
+            if B < Bpad and B > 0:
+                params0[B:] = params0[0]
+
+            con = con_map.get(n)
+            wshape = _window_shape(n, ndim, radius, separation, frame_shape)
+            solver, layout = _bucket_solver(
+                model, ndim, isotropic, n, param_mode_key, wshape,
+                radius, bounds_key, con, residual_factor,
+                max_iter, max_shift, lm_max_iter, ftol, xtol,
+                compute_error,
+            )
+            if con is not None and con.kind == "rigid":
+                pose0 = positions_to_pose(
+                    params0[:, :, 2 : 2 + ndim], con
+                ).astype(np.float32)
+            else:
+                pose0 = np.zeros((Bpad, 0), dtype=np.float32)
+
+            params_fit, rms, conv, iters, std = solver(
+                jnp.asarray(stack), jnp.asarray(fidx),
+                jnp.asarray(params0), jnp.asarray(pose0),
+                jnp.asarray(valid),
+            )
+            params_fit = np.asarray(params_fit)
+            rms = np.asarray(rms)
+            std = np.asarray(std) if compute_error else None
+
+            for b, rows in enumerate(row_groups):
+                ok = rms[b] <= max_rms_dev and np.isfinite(rms[b])
+                idx = rows.index
+                if ok:
+                    for j, name in enumerate(param_names):
+                        out.loc[idx, name] = params_fit[b, :, j].astype(
+                            float
+                        )
+                    out.loc[idx, "cost"] = float(rms[b])
+                    if compute_error:
+                        for j, name in enumerate(param_names):
+                            std_cols[name][
+                                out.index.get_indexer(idx)
+                            ] = std[b, :, j]
+                # rejected: keep originals, cost stays NaN
+
+    if compute_error:
+        for name, col in std_cols.items():
+            out[name + "_std"] = col
+    return out
+
+
+def _spill_scipy(
+    out, row_groups, images, model, ndim, isotropic, radius, separation,
+    param_names, pos_columns, size_cols, initial_params, t_column,
+    max_iter, max_shift, max_rms_dev, param_mode_key,
+):
+    """Host scipy path for clusters larger than the biggest bucket."""
+    from .hostref import fit_cluster_scipy
+
+    for rows in row_groups:
+        n = len(rows)
+        t = int(rows[t_column].iloc[0])
+        image = images[t]
+        p0 = initial_params(rows, image)
+        layout = build_layout(
+            model, ndim, isotropic, n, dict(param_mode_key)
+        )
+        wshape = _window_shape(n, ndim, radius, separation, image.shape)
+        norm = max(np.abs(p0[:, 1]).max(), 1e-6)
+        params, rms, _ = fit_cluster_scipy(
+            image, p0, layout.slot_idx, wshape, radius, isotropic,
+            profile=model.name if model.name in (
+                "gauss", "ring", "hat", "disc") else "gauss",
+            norm=norm, max_iter_refit=max_iter, max_shift=max_shift,
+        )
+        if rms <= max_rms_dev and np.isfinite(rms):
+            for j, name in enumerate(param_names):
+                out.loc[rows.index, name] = params[:, j]
+            out.loc[rows.index, "cost"] = float(rms)
+
+
+def train_leastsq(
+    f: pd.DataFrame,
+    reader,
+    diameter,
+    separation=None,
+    fit_function="inv_series_2",
+    param_mode: Optional[dict] = None,
+    tol: float = 1e-7,
+    pos_columns: Optional[list] = None,
+    t_column: str = "frame",
+    max_samples: int = 512,
+    **kwargs,
+) -> dict:
+    """Calibrate 'global'-mode parameters across many features/frames.
+
+    Rebuild of refine.py::train_leastsq (SURVEY.md §3.3): builds one joint
+    fit over a sample of clusters where slots flagged 'global' (typically
+    the model's extra parameters, e.g. inv_series coefficients) are shared
+    across all sampled clusters (ops/lm.py::lm_solve_global), and returns
+    the learned values as a dict to feed back via ``param_val``.
+
+    v1 restriction (documented): the joint fit samples clusters of the most
+    common cluster size only; mixed-size joint training is a later round.
+    """
+    if pos_columns is None:
+        pos_columns = guess_pos_columns(f)
+    ndim = len(pos_columns)
+    model = get_model(fit_function)
+
+    if "cluster" not in f.columns:
+        sep = separation if separation is not None else diameter
+        f = find_clusters(f, sep, pos_columns, t_column)
+
+    # restrict to dominant bucket & sample
+    dominant = int(f["cluster_size"].mode().iloc[0])
+    sel = f[f["cluster_size"] == dominant]
+    ids = sel["cluster"].unique()[:max_samples]
+    sel = sel[sel["cluster"].isin(ids)]
+
+    # force extras to 'global' mode (reference behavior)
+    mode = dict(param_mode or {})
+    for name in model.extra_params:
+        mode.setdefault(name, "global")
+
+    fitted = refine_leastsq(
+        sel, reader, diameter, separation,
+        fit_function=model, param_mode=mode,
+        pos_columns=pos_columns, t_column=t_column,
+        ftol=tol, xtol=tol, **kwargs,
+    )
+    learned = {}
+    for name in model.extra_params:
+        ok = fitted["cost"].notna()
+        learned[name] = float(fitted.loc[ok, name].mean()) if ok.any() \
+            else float(model.default[name])
+    return learned
