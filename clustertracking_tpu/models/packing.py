@@ -115,9 +115,12 @@ class ParamLayout:
 
     def vect_from_params(self, params):
         """params[..., n, P] → vect[..., V] (mean over shared slots)."""
+        import jax
+
         M = jnp.asarray(self.pack_matrix(), dtype=params.dtype)
         flat = params.reshape(*params.shape[:-2], -1)
-        return flat @ M.T
+        # full f32 precision: packing must be exact on TPU (bf16 default)
+        return jnp.matmul(flat, M.T, precision=jax.lax.Precision.HIGHEST)
 
     def vect_to_params(self, vect, const_params):
         """vect[..., V] + const values → params[..., n, P].

@@ -72,7 +72,8 @@ def connected_components(
             sqb = jax.lax.dynamic_slice(sq, (i0,), (row_chunk,))
             vb = jax.lax.dynamic_slice(valid, (i0,), (row_chunk,))
             # d2[c, j] = |x_c|^2 + |x_j|^2 - 2 x_c . x_j   (matmul term)
-            d2 = sqb[:, None] + sq[None, :] - 2.0 * (xb @ x.T)
+            d2 = sqb[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+                xb, x.T, precision=jax.lax.Precision.HIGHEST)
             adj = (d2 <= 1.0) & valid[None, :] & vb[:, None]
             cand = jnp.where(adj, labels[None, :], _INF)
             return carry, jnp.min(cand, axis=1)

@@ -117,8 +117,10 @@ def lm_solve(
     def body(state):
         it, x, cost, lam, active, n_iter, converged = state
         r, J = residual_jac_fn(x, *args)
-        g = jnp.einsum("bnv,bn->bv", J, r)
-        H = jnp.einsum("bnu,bnv->buv", J, J)
+        g = jnp.einsum("bnv,bn->bv", J, r,
+                       precision=jax.lax.Precision.HIGHEST)
+        H = jnp.einsum("bnu,bnv->buv", J, J,
+                       precision=jax.lax.Precision.HIGHEST)
         delta = _damped_solve(H, g, lam)
         x_trial = clip(x + delta)
         step = x_trial - x
@@ -133,14 +135,21 @@ def lm_solve(
         )
         lam_new = jnp.where(active, lam_new, lam)
 
-        # Convergence (only meaningful on accepted steps):
+        # Convergence: ftol/xtol on accepted steps (MINPACK semantics), or
+        # a plateau — no improving step found across ~6 orders of damping
+        # (the f32 analog of MINPACK's "both actual and predicted relative
+        # reductions are at most ftol"): the lane sits at a local optimum
+        # to machine precision.
         xnorm = jnp.max(jnp.abs(x), axis=-1)
         snorm = jnp.max(jnp.abs(step), axis=-1)
-        conv_x = snorm <= xtol * (xtol + xnorm)
-        conv_f = (cost - c_trial) <= ftol * jnp.maximum(cost, 1e-30)
-        # A lane stuck at max damping cannot make progress — freeze it.
-        stuck = lam_new >= lam_max
-        newly_done = active & ((accept & (conv_x | conv_f)) | stuck)
+        conv_x = accept & (snorm <= xtol * (xtol + xnorm))
+        conv_f = accept & (
+            (cost - c_trial) <= ftol * jnp.maximum(cost, 1e-30)
+        )
+        plateau = (lam_new >= 1e6 * lam0) & jnp.isfinite(cost_new)
+        stuck = lam_new >= lam_max  # diverged / non-finite: freeze only
+        conv_now = conv_x | conv_f | plateau
+        newly_done = active & (conv_now | stuck)
 
         return (
             it + 1,
@@ -149,7 +158,7 @@ def lm_solve(
             lam_new,
             active & ~newly_done,
             n_iter + active.astype(jnp.int32),
-            converged | (accept & (conv_x | conv_f)),
+            converged | (active & conv_now),
         )
 
     _, x, cost, _, _, n_iter, converged = jax.lax.while_loop(
@@ -224,8 +233,10 @@ def lm_solve_global(
         r, J = residual_jac_fn(x, *args)
         r = r * w[:, None, ...].reshape((B,) + (1,) * (r.ndim - 1))
         J = J * w.reshape((B,) + (1,) * (J.ndim - 1))
-        g = jnp.einsum("bnv,bn->bv", J, r)
-        H = jnp.einsum("bnu,bnv->buv", J, J)
+        g = jnp.einsum("bnv,bn->bv", J, r,
+                       precision=jax.lax.Precision.HIGHEST)
+        H = jnp.einsum("bnu,bnv->buv", J, J,
+                       precision=jax.lax.Precision.HIGHEST)
         # Tie the shared slots: sum their gradient rows across lanes and
         # solve lane-local systems with the summed diagonal blocks — a
         # block-Jacobi step on the joint system, then re-tie.
@@ -248,14 +259,16 @@ def lm_solve_global(
         conv_f = (cost - c_trial) <= ftol * jnp.maximum(cost, 1e-30)
         snorm = jnp.max(jnp.abs(x_trial - x))
         conv_x = snorm <= xtol * (xtol + jnp.max(jnp.abs(x)))
-        done = (better & (conv_f | conv_x)) | (lam_new >= lam_max)
+        plateau = (lam_new >= 1e6 * lam0) & jnp.isfinite(cost_new)
+        conv_now = (better & (conv_f | conv_x)) | plateau
+        done = conv_now | (lam_new >= lam_max)
         return (
             it + 1,
             x_new,
             cost_new,
             lam_new,
             active & ~done,
-            converged | (better & (conv_f | conv_x)),
+            converged | conv_now,
         )
 
     _, x, cost, _, _, converged = jax.lax.while_loop(cond, body, init)

@@ -280,7 +280,8 @@ def _bucket_solver(
         if compute_error:
             pixels, mask, origin, _ = gather(vect, params0)
             r, J = residual_jac(vect, params0, pixels, mask, origin, norm)
-            H = jnp.einsum("bnu,bnv->buv", J, J)
+            H = jnp.einsum("bnu,bnv->buv", J, J,
+                           precision=jax.lax.Precision.HIGHEST)
             Vc = H.shape[-1]
             H = H + 1e-12 * jnp.eye(Vc, dtype=H.dtype)
             cov = jnp.linalg.inv(H)

@@ -1,0 +1,96 @@
+"""Trajectory linking: reference (trackpy-style) semantics on synthetic
+trajectories (SURVEY.md §2 external-linking parity)."""
+import numpy as np
+import pandas as pd
+
+from clustertracking_tpu import link
+
+
+def _traj_df(trajs, start=0):
+    """trajs: list of [(frame, y, x), ...] per particle."""
+    rows = []
+    for pts in trajs:
+        for t, y, x in pts:
+            rows.append({"frame": t, "y": y, "x": x})
+    return pd.DataFrame(rows)
+
+
+def test_two_straight_trajectories():
+    f = _traj_df([
+        [(t, 10.0 + 0.5 * t, 10.0) for t in range(5)],
+        [(t, 30.0, 30.0 + 0.5 * t) for t in range(5)],
+    ])
+    out = link(f, search_range=2.0)
+    assert out["particle"].nunique() == 2
+    for _, g in out.groupby("particle"):
+        assert len(g) == 5
+
+
+def test_out_of_range_starts_new_particle():
+    f = _traj_df([[(0, 10.0, 10.0), (1, 10.0, 20.0)]])
+    out = link(f, search_range=5.0)
+    assert out["particle"].nunique() == 2
+
+
+def test_memory_bridges_gap():
+    pts = [(0, 10.0, 10.0), (1, 10.5, 10.0), (3, 11.5, 10.0)]
+    f = _traj_df([pts])
+    out_nomem = link(f, search_range=2.0, memory=0)
+    assert out_nomem["particle"].nunique() == 2
+    out_mem = link(f, search_range=2.0, memory=1)
+    assert out_mem["particle"].nunique() == 1
+
+
+def test_nearest_wins_on_contention():
+    """Two tracks, two candidates: greedy by distance matches each to its
+    nearest (documented tie-breaking contract)."""
+    f = pd.DataFrame(
+        {
+            "frame": [0, 0, 1, 1],
+            "y": [10.0, 14.0, 10.5, 13.6],
+            "x": [10.0, 10.0, 10.0, 10.0],
+        }
+    )
+    out = link(f, search_range=5.0)
+    p = out["particle"].to_numpy()
+    assert p[0] == p[2] and p[1] == p[3] and p[0] != p[1]
+
+
+def test_original_order_preserved():
+    f = _traj_df([[(1, 10.0, 10.0)], [(0, 20.0, 20.0)]])
+    out = link(f, search_range=2.0)
+    assert list(out.index) == list(f.index)
+
+
+def test_3d_linking():
+    f = pd.DataFrame(
+        {
+            "frame": [0, 1, 2],
+            "z": [5.0, 5.4, 5.8],
+            "y": [10.0, 10.0, 10.0],
+            "x": [10.0, 10.2, 10.4],
+        }
+    )
+    out = link(f, search_range=1.0)
+    assert out["particle"].nunique() == 1
+
+
+def test_many_random_walkers(rng):
+    """Well-separated random walkers all link into full-length tracks."""
+    n, T = 12, 20
+    starts = rng.uniform(10, 90, (n, 2))
+    # keep walkers far apart relative to step size
+    starts = starts[
+        np.argsort(starts[:, 0])
+    ]
+    rows = []
+    pos = starts.copy()
+    for t in range(T):
+        pos = pos + rng.normal(0, 0.3, pos.shape)
+        for i in range(n):
+            rows.append({"frame": t, "y": pos[i, 0], "x": pos[i, 1]})
+    f = pd.DataFrame(rows)
+    out = link(f, search_range=3.0)
+    # every frame-0 particle persists through all T frames
+    counts = out.groupby("particle").size()
+    assert (counts == T).sum() >= n - 2  # allow rare close encounters

@@ -1,0 +1,142 @@
+"""Batched LM: scipy.optimize.leastsq parity + bucketing invariance
+(SURVEY.md §4 parity tier: "param RMSE vs scipy")."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+from scipy.optimize import leastsq  # noqa: E402
+
+from clustertracking_tpu.ops.lm import lm_solve, lm_solve_global  # noqa
+
+
+def _make_gauss_problem(rng, B=8, npts=64):
+    """1D multi-gaussian curve fits: y = a*exp(-(t-m)^2/(2 s^2))."""
+    t = np.linspace(0, 10, npts).astype(np.float32)
+    true = np.stack(
+        [
+            rng.uniform(2, 5, B),      # a
+            rng.uniform(3, 7, B),      # m
+            rng.uniform(0.5, 1.5, B),  # s
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    def model_np(x, t):
+        a, m, s = x
+        return a * np.exp(-((t - m) ** 2) / (2 * s**2))
+
+    y = np.stack([model_np(p, t) for p in true])
+    y = y + rng.normal(0, 0.01, y.shape).astype(np.float32)
+
+    def residual(x, y):
+        a = x[:, 0:1]
+        m = x[:, 1:2]
+        s = x[:, 2:3]
+        return a * jnp.exp(-((t[None] - m) ** 2) / (2 * s**2)) - y
+
+    def residual_jac(x, y):
+        r = residual(x, y)
+        J = jax.jacfwd(lambda v: residual(v, y))(x)
+        J = jnp.einsum("bnbv->bnv", J)
+        return r, J
+
+    x0 = true + rng.normal(0, 0.3, true.shape).astype(np.float32)
+    return residual, residual_jac, x0, y, true, t, model_np
+
+
+def test_parity_vs_scipy(rng):
+    residual, residual_jac, x0, y, true, t, model_np = _make_gauss_problem(
+        rng
+    )
+    res = lm_solve(
+        residual, residual_jac, jnp.asarray(x0), (jnp.asarray(y),)
+    )
+    ours = np.asarray(res.x)
+
+    ref = np.empty_like(x0)
+    for b in range(len(x0)):
+        ref[b], _ = leastsq(
+            lambda v: model_np(v, t) - y[b], x0[b].astype(float)
+        )
+    rmse = np.sqrt(np.mean((ours - ref) ** 2))
+    assert rmse < 1e-3, f"param RMSE vs scipy = {rmse}"
+    assert bool(np.all(np.asarray(res.converged)))
+
+
+def test_bucketing_invariance(rng):
+    """Padding lanes must not change real-lane results (SURVEY.md §4)."""
+    residual, residual_jac, x0, y, true, t, _ = _make_gauss_problem(rng, B=4)
+    res_a = lm_solve(
+        residual, residual_jac, jnp.asarray(x0), (jnp.asarray(y),)
+    )
+    # pad to 16 lanes with garbage; only first 4 valid
+    pad = 16
+    x0p = np.tile(x0[:1], (pad, 1)).copy()
+    yp = np.tile(y[:1], (pad, 1)).copy()
+    x0p[:4], yp[:4] = x0, y
+    valid = np.zeros(pad, bool)
+    valid[:4] = True
+    res_b = lm_solve(
+        residual, residual_jac, jnp.asarray(x0p), (jnp.asarray(yp),),
+        valid=jnp.asarray(valid),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.x)[:4], np.asarray(res_a.x), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_bounds_projection(rng):
+    residual, residual_jac, x0, y, true, t, _ = _make_gauss_problem(rng)
+    lower = jnp.asarray(np.array([3.0, -np.inf, -np.inf], np.float32))
+    res = lm_solve(
+        residual, residual_jac, jnp.asarray(x0), (jnp.asarray(y),),
+        lower=lower,
+    )
+    assert np.all(np.asarray(res.x)[:, 0] >= 3.0 - 1e-6)
+
+
+def test_invalid_lanes_frozen(rng):
+    residual, residual_jac, x0, y, *_ = _make_gauss_problem(rng, B=4)
+    valid = jnp.asarray([True, False, True, False])
+    res = lm_solve(
+        residual, residual_jac, jnp.asarray(x0), (jnp.asarray(y),),
+        valid=valid,
+    )
+    np.testing.assert_array_equal(np.asarray(res.x)[1], x0[1])
+    np.testing.assert_array_equal(np.asarray(res.x)[3], x0[3])
+
+
+def test_global_slot_tying(rng):
+    """Shared slot converges to the joint optimum across lanes."""
+    B, npts = 6, 48
+    t = np.linspace(0, 10, npts).astype(np.float32)
+    m_true = rng.uniform(3, 7, B).astype(np.float32)
+    a_shared = 4.0  # one amplitude shared by every lane
+
+    y = a_shared * np.exp(
+        -((t[None] - m_true[:, None]) ** 2) / 2.0
+    ).astype(np.float32)
+
+    def residual(x, y):
+        a = x[:, 0:1]
+        m = x[:, 1:2]
+        return a * jnp.exp(-((t[None] - m) ** 2) / 2.0) - y
+
+    def residual_jac(x, y):
+        r = residual(x, y)
+        J = jax.jacfwd(lambda v: residual(v, y))(x)
+        return r, jnp.einsum("bnbv->bnv", J)
+
+    x0 = np.stack(
+        [rng.uniform(2, 6, B), m_true + rng.normal(0, 0.2, B)], -1
+    ).astype(np.float32)
+    res = lm_solve_global(
+        residual, residual_jac, jnp.asarray(x0), (True, False),
+        (jnp.asarray(y),),
+    )
+    x = np.asarray(res.x)
+    # all lanes share one amplitude, equal to the true shared value
+    assert np.ptp(x[:, 0]) < 1e-5
+    assert abs(x[0, 0] - a_shared) < 1e-3
+    np.testing.assert_allclose(x[:, 1], m_true, atol=1e-3)

@@ -1,0 +1,245 @@
+"""refine_leastsq harness: ground-truth recovery from perturbed guesses
+(SURVEY.md §4 core pattern — the RefineTsts-style suite), plus parity vs
+the host scipy path on identical clusters."""
+import numpy as np
+import pandas as pd
+import pytest
+
+import clustertracking_tpu as ct
+from clustertracking_tpu import artificial
+
+POS_TOL = 0.01  # px, noiseless recovery
+SIZE_TOL = 0.05
+SIGNAL_RTOL = 0.01
+
+
+def _fit_one(pos_true, size=3.0, signal=200.0, shape=(64, 64),
+             perturb=0.4, seed=0, **kwargs):
+    img = np.zeros(shape)
+    for p in np.atleast_2d(pos_true):
+        artificial.draw_feature(img, p, size, signal)
+    rng = np.random.default_rng(seed)
+    pos0 = np.atleast_2d(pos_true) + rng.uniform(
+        -perturb, perturb, np.atleast_2d(pos_true).shape
+    )
+    cols = ["y", "x"] if len(shape) == 2 else ["z", "y", "x"]
+    f = pd.DataFrame(pos0, columns=cols)
+    f["frame"] = 0
+    defaults = dict(diameter=int(size * 3) * 2 + 1)
+    defaults.update(kwargs)
+    return ct.refine_leastsq(f, img, **defaults), cols
+
+
+def test_single_feature_2d():
+    true = np.array([[24.3, 30.7]])
+    out, cols = _fit_one(true, param_mode={"size": "var"},
+                         param_val={"size": 2.5})
+    assert np.abs(out[cols].to_numpy() - true).max() < POS_TOL
+    assert abs(out["size"].iloc[0] - 3.0) < SIZE_TOL
+    assert abs(out["signal"].iloc[0] / 200.0 - 1) < SIGNAL_RTOL
+    assert out["cost"].notna().all()
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_overlapping_cluster_2d(n):
+    """The headline capability: sub-pixel recovery of overlapping features
+    that centroid methods cannot separate."""
+    img = np.zeros((64, 64))
+    true = artificial.draw_cluster(
+        img, (32, 32), size=3.0, separation=5.0, n=n, signal=200.0,
+        angle=0.7,
+    )
+    rng = np.random.default_rng(1)
+    f = pd.DataFrame(
+        true + rng.uniform(-0.4, 0.4, true.shape), columns=["y", "x"]
+    )
+    f["frame"] = 0
+    out = ct.refine_leastsq(
+        f, img, diameter=9, separation=5.5,
+        param_mode={"size": "cluster"}, param_val={"size": 2.7},
+    )
+    assert out["cluster_size"].iloc[0] == n
+    assert np.abs(out[["y", "x"]].to_numpy() - true).max() < POS_TOL
+    np.testing.assert_allclose(out["size"], 3.0, atol=SIZE_TOL)
+
+
+def test_repeated_random_draws():
+    """N random dimers: rms position error stays sub-0.01 px (noiseless,
+    reference test pattern: repeated draws with random perturbations)."""
+    errs = []
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        img = np.zeros((48, 48))
+        angle = rng.uniform(0, np.pi)
+        center = 24 + rng.uniform(-2, 2, 2)
+        true = artificial.draw_cluster(
+            img, center, size=2.5, separation=4.5, n=2, signal=150.0,
+            angle=angle,
+        )
+        f = pd.DataFrame(
+            true + rng.uniform(-0.5, 0.5, true.shape), columns=["y", "x"]
+        )
+        f["frame"] = 0
+        out = ct.refine_leastsq(
+            f, img, diameter=9, separation=6.0, param_val={"size": 2.5},
+        )
+        errs.append(np.abs(out[["y", "x"]].to_numpy() - true).max())
+    assert np.sqrt(np.mean(np.square(errs))) < POS_TOL
+
+
+def test_with_noise():
+    img = np.zeros((64, 64))
+    true = artificial.draw_cluster(
+        img, (32, 32), size=3.0, separation=6.0, n=2, signal=200.0
+    )
+    img += np.random.default_rng(3).normal(0, 4.0, img.shape)  # SNR 50
+    f = pd.DataFrame(true + 0.3, columns=["y", "x"])
+    f["frame"] = 0
+    out = ct.refine_leastsq(
+        f, img, diameter=11, separation=6.5, param_val={"size": 3.0}
+    )
+    assert np.abs(out[["y", "x"]].to_numpy() - true).max() < 0.1
+    assert out["cost"].notna().all()
+
+
+def test_3d_isotropic():
+    true = np.array([[12.4, 13.6, 11.2]])
+    out, cols = _fit_one(
+        true, size=2.0, shape=(24, 24, 24), diameter=7,
+        param_val={"size": 2.0},
+    )
+    assert np.abs(out[cols].to_numpy() - true).max() < POS_TOL
+
+
+def test_3d_anisotropic():
+    img = np.zeros((24, 32, 32))
+    true = np.array([[12.3, 16.6, 15.4]])
+    artificial.draw_feature(img, true[0], (1.5, 2.5, 2.5), signal=100.0)
+    f = pd.DataFrame(true + 0.3, columns=["z", "y", "x"])
+    f["frame"] = 0
+    f["size_z"], f["size_y"], f["size_x"] = 1.3, 2.2, 2.2
+    out = ct.refine_leastsq(
+        f, img, diameter=(5, 9, 9),
+        param_mode={"size_z": "var", "size_y": "var", "size_x": "var"},
+    )
+    assert np.abs(out[["z", "y", "x"]].to_numpy() - true).max() < POS_TOL
+    assert abs(out["size_z"].iloc[0] - 1.5) < SIZE_TOL
+    assert abs(out["size_y"].iloc[0] - 2.5) < SIZE_TOL
+
+
+def test_param_mode_cluster_background():
+    img = np.full((64, 64), 7.0)  # constant background to recover
+    true = artificial.draw_cluster(
+        img, (32, 32), size=3.0, separation=6.0, n=2, signal=200.0
+    )
+    f = pd.DataFrame(true + 0.2, columns=["y", "x"])
+    f["frame"] = 0
+    out = ct.refine_leastsq(
+        f, img, diameter=11, separation=6.5,
+        param_mode={"background": "cluster"}, param_val={"size": 3.0},
+    )
+    np.testing.assert_allclose(out["background"], 7.0, atol=0.1)
+    assert np.abs(out[["y", "x"]].to_numpy() - true).max() < POS_TOL
+
+
+def test_bounds():
+    true = np.array([[24.3, 30.7]])
+    out, cols = _fit_one(
+        true, bounds={"signal": (0.0, 180.0)}, param_val={"size": 3.0},
+    )
+    assert out["signal"].iloc[0] <= 180.0 + 1e-3
+
+
+def test_max_rms_dev_rejects_bad_fits():
+    """Residual above the max_rms_dev threshold → rejected (cost NaN,
+    original values kept); generous threshold → accepted."""
+    img = np.zeros((64, 64))
+    artificial.draw_feature(img, (20.3, 20.7), 3.0, signal=200.0)
+    img += np.random.default_rng(0).normal(0, 10.0, img.shape)
+    f = pd.DataFrame([[20.0, 21.0]], columns=["y", "x"])
+    f["frame"] = 0
+    f["signal"] = 200.0
+    common = dict(diameter=9, param_val={"size": 3.0})
+    rejected = ct.refine_leastsq(f, img, max_rms_dev=0.005, **common)
+    assert rejected["cost"].isna().all()
+    assert rejected["y"].iloc[0] == 20.0  # originals kept
+    accepted = ct.refine_leastsq(f, img, max_rms_dev=1.0, **common)
+    assert accepted["cost"].notna().all()
+    assert abs(accepted["y"].iloc[0] - 20.3) < 0.05
+
+
+def test_compute_error_columns():
+    img = np.zeros((64, 64))
+    true = artificial.draw_cluster(
+        img, (32, 32), size=3.0, separation=6.0, n=2, signal=200.0
+    )
+    noise = 2.0
+    img += np.random.default_rng(5).normal(0, noise, img.shape)
+    f = pd.DataFrame(true + 0.2, columns=["y", "x"])
+    f["frame"] = 0
+    out = ct.refine_leastsq(
+        f, img, diameter=11, separation=6.5, compute_error=True,
+        param_val={"size": 3.0},
+    )
+    assert "y_std" in out.columns and "signal_std" in out.columns
+    # stderr should be of the right order: ~noise/signal * size ≈ 0.03 px
+    assert 0.001 < out["y_std"].iloc[0] < 0.3
+
+
+def test_parity_vs_host_scipy():
+    """TPU batched path vs scipy serial path on identical clusters —
+    the BASELINE.md fidelity metric (sub-pixel param RMSE)."""
+    from clustertracking_tpu.hostref import fit_cluster_scipy
+    from clustertracking_tpu.models import build_layout, get_model
+
+    rng = np.random.default_rng(7)
+    rmses = []
+    for seed in range(5):
+        img = np.zeros((48, 48))
+        true = artificial.draw_cluster(
+            img, 24 + rng.uniform(-2, 2, 2), size=2.5, separation=4.0,
+            n=2, signal=150.0, angle=rng.uniform(0, np.pi),
+        )
+        img += rng.normal(0, 1.5, img.shape)
+        pos0 = true + rng.uniform(-0.4, 0.4, true.shape)
+        f = pd.DataFrame(pos0, columns=["y", "x"])
+        f["frame"] = 0
+        f["signal"] = 150.0
+        out = ct.refine_leastsq(
+            f, img, diameter=9, separation=5.0, param_val={"size": 2.5}
+        )
+        ours = out[["y", "x", "signal"]].to_numpy()
+
+        layout = build_layout(get_model("gauss"), 2, True, 2)
+        p0 = np.zeros((2, 5))
+        p0[:, 1] = 150.0
+        p0[:, 2:4] = pos0
+        p0[:, 4] = 2.5
+        ref, _, _ = fit_cluster_scipy(
+            img, p0, layout.slot_idx, (14, 14), (4.5, 4.5), True,
+            norm=150.0,
+        )
+        rmses.append(
+            np.sqrt(np.mean((ours - ref[:, 1:4][:, [1, 2, 0]]) ** 2))
+        )
+    # sub-pixel parity: positions+signal agree to ~1e-3 of a pixel/unit
+    assert np.mean(rmses) < 5e-3, f"RMSE vs scipy: {rmses}"
+
+
+def test_window_shape_independence():
+    """Fitting the same cluster with different separations (→ different
+    static window sizes) gives the same answer — bucketing invariance."""
+    img = np.zeros((64, 64))
+    true = artificial.draw_cluster(
+        img, (32, 32), size=3.0, separation=6.0, n=2, signal=200.0
+    )
+    f = pd.DataFrame(true + 0.3, columns=["y", "x"])
+    f["frame"] = 0
+    out1 = ct.refine_leastsq(f, img, diameter=9, separation=6.5,
+                             param_val={"size": 3.0})
+    out2 = ct.refine_leastsq(f, img, diameter=9, separation=8.0,
+                             param_val={"size": 3.0})
+    np.testing.assert_allclose(
+        out1[["y", "x"]].to_numpy(), out2[["y", "x"]].to_numpy(),
+        atol=2e-3,
+    )
