@@ -181,6 +181,8 @@ def lm_solve_global(
     lam_up: float = 4.0,
     lam_down: float = 0.25,
     lam_max: float = 1e10,
+    lower: Optional[jax.Array] = None,
+    upper: Optional[jax.Array] = None,
     valid: Optional[jax.Array] = None,
 ) -> LMResult:
     """LM with 'global'-mode slots tied across the batch (train_leastsq).
@@ -205,9 +207,15 @@ def lm_solve_global(
     nvalid = jnp.maximum(jnp.sum(w), 1.0)
 
     def tie(x):
-        """Average global slots across valid lanes, broadcast back."""
+        """Average global slots across valid lanes, broadcast back; then
+        project into the box bounds."""
         mean = jnp.sum(x * w[:, None], axis=0) / nvalid
-        return jnp.where(gmask[None, :], mean[None, :], x)
+        x = jnp.where(gmask[None, :], mean[None, :], x)
+        if lower is not None:
+            x = jnp.maximum(x, lower)
+        if upper is not None:
+            x = jnp.minimum(x, upper)
+        return x
 
     x0 = tie(x0)
 

@@ -225,6 +225,29 @@ def _bucket_solver(
 
         vect0 = vect_of(params0, pose0) if rigid else vect_of(params0)
 
+        # Implicit position bounds: positions (or pose centers) stay inside
+        # the frame.  Without this, a lane whose gradient vanishes (feature
+        # left its window) can random-walk unboundedly; the reference's
+        # serial fit is naturally confined by its fixed subimage.
+        Vtot = vect0.shape[1]
+        lo_np = np.full(Vtot, -np.inf, np.float32)
+        hi_np = np.full(Vtot, np.inf, np.float32)
+        if lower is not None:
+            lo_np = np.maximum(lo_np, np.asarray(lower, np.float32))
+            hi_np = np.minimum(hi_np, np.asarray(upper, np.float32))
+        if rigid:
+            for d in range(layout.ndim):  # pose center slots
+                lo_np[d], hi_np[d] = 0.0, float(frame_shape[d] - 1)
+            if fit_dist:  # a bond length is positive
+                lo_np[Q] = max(lo_np[Q], 1e-3)
+        else:
+            for d, p in enumerate(layout.pos_param_idx):
+                for s in layout.slot_idx[:, p]:
+                    if s >= 0:
+                        lo_np[s] = 0.0
+                        hi_np[s] = float(frame_shape[d] - 1)
+        lo_b, hi_b = jnp.asarray(lo_np), jnp.asarray(hi_np)
+
         def gather(vect, params_ref):
             pos = positions_of(vect, params_ref)
             origin = origins_for(pos, window_shape, frame_shape)
@@ -244,13 +267,13 @@ def _bucket_solver(
                 res = lm_solve_global(
                     residual, residual_jac, vect, tuple(gslots), args,
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
-                    valid=need,
+                    lower=lo_b, upper=hi_b, valid=need,
                 )
             else:
                 res = lm_solve(
                     residual, residual_jac, vect, args,
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
-                    lower=lower, upper=upper, valid=need,
+                    lower=lo_b, upper=hi_b, valid=need,
                 )
             pos_new = positions_of(res.x, params0)
             shift = jnp.max(
