@@ -64,9 +64,9 @@ def radius_mask(pos, origin, window_shape: Tuple[int, ...], radius,
 
     pos: [B, n, D]; origin: [B, D] int; radius: length-D sequence.
     """
-    offsets = window_offsets(window_shape, dtype)          # [Npix, D]
+    offsets = window_offsets(window_shape, dtype)          # [D, Npix]
     rel = pos - origin[:, None, :].astype(dtype)           # [B, n, D]
     r = jnp.asarray(radius, dtype=dtype)
-    d = (offsets[None, None, :, :] - rel[:, :, None, :]) / r  # [B,n,Npix,D]
-    r2 = jnp.sum(d * d, axis=-1)
+    d = (offsets[None, None] - rel[..., None]) / r[:, None]  # [B,n,D,Npix]
+    r2 = jnp.sum(d * d, axis=-2)
     return (jnp.min(r2, axis=1) <= 1.0).astype(dtype)      # [B, Npix]

@@ -37,6 +37,44 @@ class LMResult(NamedTuple):
     converged: jax.Array  # [B] bool — hit ftol/xtol (vs iteration cap)
 
 
+def _chol_solve_unrolled(A, g):
+    """Batched SPD solve via hand-unrolled Cholesky (V static, small).
+
+    ``jnp.linalg.solve`` (batched LU w/ pivoting) lowers to scalar-ish
+    loops on TPU when it appears inside lax control flow — measured ~13 ms
+    per LM iteration at B=8192, V=6 vs ~1 ms for this unrolled form, which
+    is pure elementwise VPU work vectorized over the batch."""
+    V = A.shape[-1]
+    L = [[None] * V for _ in range(V)]
+    for j in range(V):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L[j][j] = d
+        for i in range(j + 1, V):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / d
+    y = [None] * V
+    for i in range(V):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * V
+    for i in reversed(range(V)):
+        s = y[i]
+        for k in range(i + 1, V):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+_UNROLL_MAX_V = 40  # beyond this, unrolled op count outgrows batched LU
+
+
 def _damped_solve(H, g, lam):
     """Solve (H + lam*diag(H) + eps*I) delta = -g, batched."""
     d = jnp.diagonal(H, axis1=-2, axis2=-1)
@@ -44,8 +82,10 @@ def _damped_solve(H, g, lam):
     A = H + (lam[..., None] * d)[..., None, :] * jnp.eye(
         H.shape[-1], dtype=H.dtype
     )
-    # Small extra Tikhonov floor keeps Cholesky/LU stable in float32.
+    # Small extra Tikhonov floor keeps Cholesky stable in float32.
     A = A + 1e-10 * jnp.eye(H.shape[-1], dtype=H.dtype)
+    if H.shape[-1] <= _UNROLL_MAX_V:
+        return -_chol_solve_unrolled(A, g)
     return -jnp.linalg.solve(A, g[..., None])[..., 0]
 
 
@@ -70,7 +110,8 @@ def lm_solve(
 
     Args:
       residual_fn: ``f(x, *args) -> r [B, N]``.
-      residual_jac_fn: ``f(x, *args) -> (r [B, N], J [B, N, V])``.
+      residual_jac_fn: ``f(x, *args) -> (r [B, N], J [B, V, N])``
+        (slot-major J: pixel axis last for TPU tiling).
       x0: [B, V] initial guesses.
       args: extra arrays forwarded to the residual functions.
       lower/upper: optional [V] or [B, V] box bounds (projected steps).
@@ -117,9 +158,9 @@ def lm_solve(
     def body(state):
         it, x, cost, lam, active, n_iter, converged = state
         r, J = residual_jac_fn(x, *args)
-        g = jnp.einsum("bnv,bn->bv", J, r,
+        g = jnp.einsum("bvn,bn->bv", J, r,
                        precision=jax.lax.Precision.HIGHEST)
-        H = jnp.einsum("bnu,bnv->buv", J, J,
+        H = jnp.einsum("bun,bvn->buv", J, J,
                        precision=jax.lax.Precision.HIGHEST)
         delta = _damped_solve(H, g, lam)
         x_trial = clip(x + delta)
@@ -241,9 +282,9 @@ def lm_solve_global(
         r, J = residual_jac_fn(x, *args)
         r = r * w[:, None, ...].reshape((B,) + (1,) * (r.ndim - 1))
         J = J * w.reshape((B,) + (1,) * (J.ndim - 1))
-        g = jnp.einsum("bnv,bn->bv", J, r,
+        g = jnp.einsum("bvn,bn->bv", J, r,
                        precision=jax.lax.Precision.HIGHEST)
-        H = jnp.einsum("bnu,bnv->buv", J, J,
+        H = jnp.einsum("bun,bvn->buv", J, J,
                        precision=jax.lax.Precision.HIGHEST)
         # Tie the shared slots: sum their gradient rows across lanes and
         # solve lane-local systems with the summed diagonal blocks — a

@@ -19,13 +19,19 @@ derivatives d fun/d r2 and d fun/d extra_k come from jax.grad of the scalar
 profile, so custom models get analytic Jacobians too (the reference requires
 a hand-written ``dfun`` for that).
 
+TPU layout rule (load-bearing for performance): the *pixel* axis is always
+last.  TPU vector memory tiles the last dim to 128 lanes; arrays shaped
+``[..., Npix, D]`` or ``[B, Npix, V]`` pad their tiny trailing dim (2, 3, or
+~6) up to 128 — a 20–60x memory blowup.  Hence:
+
+    offsets [D, Npix];  dxs [B, n, D, Npix];  J [B, V, Npix]
+
 Pixel coordinates: window origins are integer corner coordinates; the pixel
 at window index (i0, i1, ...) has position origin + index (pixel centers at
 integer coordinates, matching the reference's meshgrid convention).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -42,18 +48,19 @@ class ModelFns(NamedTuple):
     """Jit-ready closures for one bucket (fixed layout + window shape)."""
 
     residual: Callable          # (vect, const, pixels, mask, origin, norm)
-    residual_jac: Callable      # same args -> (r, J)
+    residual_jac: Callable      # same args -> (r [B,Npix], J [B,V,Npix])
     image: Callable             # (vect, const, origin) -> model image
     image_from_params: Callable  # (params [B,n,P], origin) -> model image
 
 
 def window_offsets(window_shape: Tuple[int, ...], dtype=jnp.float32):
-    """Static [Npix, D] array of pixel index offsets for a window."""
+    """Static [D, Npix] array of pixel index offsets for a window
+    (pixel axis last — see module docstring)."""
     grids = np.meshgrid(
         *[np.arange(s) for s in window_shape], indexing="ij"
     )
     return jnp.asarray(
-        np.stack([g.ravel() for g in grids], axis=-1), dtype=dtype
+        np.stack([g.ravel() for g in grids], axis=0), dtype=dtype
     )
 
 
@@ -63,9 +70,9 @@ def make_model_fns(
     window_shape: Tuple[int, ...],
     dtype=jnp.float32,
 ):
-    """Build (residual_fn, residual_jac_fn, model_image_fn) for one bucket.
+    """Build jitted model closures for one bucket.
 
-    All three close over the static layout/window and take::
+    All close over the static layout/window and take::
 
         vect         [B, V]     — packed optimizer vector per cluster
         const_params [B, n, P]  — full param array supplying const values
@@ -74,17 +81,16 @@ def make_model_fns(
         origin       [B, D]     — integer window corner coordinates
         norm         [B]        — residual normalization (signal scale)
 
-    and return::
+    returning::
 
-        residual_fn     -> r [B, Npix]
-        residual_jac_fn -> (r [B, Npix], J [B, Npix, V])
-        model_image_fn  -> model image [B, Npix]   (unmasked, for debugging)
+        residual     -> r [B, Npix]
+        residual_jac -> (r [B, Npix], J [B, V, Npix])   (slot-major J!)
     """
     D = layout.ndim
     n = layout.n_features
-    P = layout.n_params
     V = layout.n_slots
-    offsets = window_offsets(window_shape, dtype)  # [Npix, D]
+    offsets = window_offsets(window_shape, dtype)  # [D, Npix]
+    Npix = offsets.shape[1]
     n_extra = len(model.extra_params)
     extra_param_idx = tuple(
         layout.param_names.index(name) for name in model.extra_params
@@ -92,10 +98,6 @@ def make_model_fns(
     pos_idx = np.array(layout.pos_param_idx)
     size_idx = np.array(layout.size_param_idx)
 
-    # Vectorized radial profile and its derivatives. The scalar profile is
-    # elementwise in r2 with broadcastable extras, so plain broadcasting
-    # works; grads come per-scalar via vmap-free broadcasting of jax.grad
-    # composed over the elementwise fun.
     fun = model.fun
     dfun_dr2 = jnp.vectorize(model.dfun_dr2())
     dfun_dex = [jnp.vectorize(model.dfun_dextra(k)) for k in range(n_extra)]
@@ -108,18 +110,15 @@ def make_model_fns(
         extras = [params[..., j] for j in extra_param_idx]  # each [B, n]
         return pos, size, signal, bg, extras
 
-    def _unpack(vect, const_params):
-        params = layout.vect_to_params(vect, const_params)  # [B, n, P]
-        return (params,) + _split(params)
-
     def _geometry(pos, size, origin):
         # Window-local arithmetic for f32 precision: dx = (origin+offsets)
         # - pos computed as offsets - (pos - origin), keeping magnitudes
-        # O(window) instead of O(frame).
+        # O(window) instead of O(frame).  Pixel axis last throughout.
         rel = pos - origin[:, None, :].astype(dtype)        # [B, n, D]
-        dx = offsets[None, None, :, :] - rel[:, :, None, :]  # [B,n,Npix,D]
-        dxs = dx / size[:, :, None, :]
-        r2 = jnp.sum(dxs * dxs, axis=-1)                    # [B, n, Npix]
+        size_d = jnp.broadcast_to(size, rel.shape)          # [B, n, D]
+        dx = offsets[None, None] - rel[..., None]           # [B,n,D,Npix]
+        dxs = dx / size_d[..., None]
+        r2 = jnp.sum(dxs * dxs, axis=-2)                    # [B, n, Npix]
         return dxs, r2
 
     def _profile(r2, extras):
@@ -143,7 +142,8 @@ def make_model_fns(
         return (img - pixels) * mask / norm[:, None]
 
     def residual_jac_fn(vect, const_params, pixels, mask, origin, norm):
-        _, pos, size, signal, bg, extras = _unpack(vect, const_params)
+        params = layout.vect_to_params(vect, const_params)
+        pos, size, signal, bg, extras = _split(params)
         dxs, r2 = _geometry(pos, size, origin)
         ex_b = [e[:, :, None] for e in extras]
         fvals = fun(r2, *ex_b) if n_extra else fun(r2)       # [B, n, Npix]
@@ -155,40 +155,36 @@ def make_model_fns(
         sig_df = signal[:, :, None] * df                     # [B, n, Npix]
 
         B = vect.shape[0]
-        Npix = offsets.shape[0]
-        J = jnp.zeros((B, Npix, V), dtype=dtype)
+        size_bn = jnp.broadcast_to(size, pos.shape)          # [B, n, D]
+
+        # Build J slot-major: one [B, Npix] column per (feature, param),
+        # accumulated into rows of J [B, V, Npix] via a static index map.
+        # Shared (cluster/global) slots receive multiple adds.
+        J = jnp.zeros((B, V, Npix), dtype=dtype)
 
         def scatter(J, p, cols):
-            """Accumulate per-feature columns cols[B, n, Npix] into the
-            slots of param p (static index map; repeated indices add,
-            which realizes shared cluster/global slots)."""
+            """cols [B, n, Npix] → add into slot rows of param p."""
             slots = layout.slot_idx[:, p]
             if slots[0] < 0:
                 return J
-            cols = (cols * w[:, None, :]).transpose(0, 2, 1)  # [B,Npix,n]
-            return J.at[:, :, slots].add(
-                cols, indices_are_sorted=False, unique_indices=False
-            )
+            return J.at[:, slots, :].add(cols * w[:, None, :])
 
-        # background: d model / d bg = 1
+        # background: d model / d bg = 1 (single shared slot, add once)
         p_bg = layout.background_param_idx
         if layout.slot_idx[0, p_bg] >= 0:
-            ones = jnp.ones((B, 1, Npix), dtype=dtype)
-            # background is a single shared slot; scatter feature-0 only
-            slots = layout.slot_idx[:1, p_bg]
-            colw = (ones * w[:, None, :]).transpose(0, 2, 1)
-            J = J.at[:, :, slots].add(colw)
+            s_bg = int(layout.slot_idx[0, p_bg])
+            J = J.at[:, s_bg, :].add(w)
 
         # signal_i: fun(r2_i)
         J = scatter(J, layout.signal_param_idx, fvals)
 
         # pos_{i,d}: signal_i * f'(r2_i) * (-2 * dxs_d / size_d)
         for d_axis, p in enumerate(layout.pos_param_idx):
-            s_d = size[..., min(d_axis, size.shape[-1] - 1)]  # [B, n]
-            cols = sig_df * (-2.0) * dxs[..., d_axis] / s_d[:, :, None]
+            s_d = size_bn[..., d_axis]                       # [B, n]
+            cols = sig_df * (-2.0) * dxs[:, :, d_axis, :] / s_d[..., None]
             J = scatter(J, p, cols)
 
-        # sizes: iso: dr2/ds = -2 r2 / s ; aniso: dr2/ds_d = -2 dxs_d^2 / s_d
+        # sizes: iso: dr2/ds = -2 r2 / s ; aniso: dr2/ds_d = -2 dxs_d^2/s_d
         if layout.isotropic:
             p = layout.size_param_idx[0]
             s = size[..., 0]
@@ -198,9 +194,7 @@ def make_model_fns(
             for d_axis, p in enumerate(layout.size_param_idx):
                 s_d = size[..., d_axis]
                 cols = (
-                    sig_df
-                    * (-2.0)
-                    * dxs[..., d_axis] ** 2
+                    sig_df * (-2.0) * dxs[:, :, d_axis, :] ** 2
                     / s_d[:, :, None]
                 )
                 J = scatter(J, p, cols)

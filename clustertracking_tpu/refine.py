@@ -175,8 +175,9 @@ def _bucket_solver(
                 lambda v: residual(v, params_ref, pixels, mask, origin,
                                    norm)
             )(vect)
-            # jacfwd over batched fn yields [B, Npix, B, Vc]; take diag
-            J = jnp.einsum("bnbv->bnv", J)
+            # jacfwd over batched fn yields [B, Npix, B, Vc]; take the
+            # lane diagonal and put pixels last (slot-major J)
+            J = jnp.einsum("bnbv->bvn", J)
             return r, J
     elif generic:
         con_fun = jax.vmap(constraint.fun)
@@ -193,7 +194,7 @@ def _bucket_solver(
                 lambda v: residual(v, params_ref, pixels, mask, origin,
                                    norm)
             )(vect)
-            J = jnp.einsum("bnbv->bnv", J)
+            J = jnp.einsum("bnbv->bvn", J)
             return r, J
     else:
         residual = fns.residual
@@ -303,7 +304,7 @@ def _bucket_solver(
         if compute_error:
             pixels, mask, origin, _ = gather(vect, params0)
             r, J = residual_jac(vect, params0, pixels, mask, origin, norm)
-            H = jnp.einsum("bnu,bnv->buv", J, J,
+            H = jnp.einsum("bun,bvn->buv", J, J,
                            precision=jax.lax.Precision.HIGHEST)
             Vc = H.shape[-1]
             H = H + 1e-12 * jnp.eye(Vc, dtype=H.dtype)

@@ -38,7 +38,7 @@ def _make_gauss_problem(rng, B=8, npts=64):
     def residual_jac(x, y):
         r = residual(x, y)
         J = jax.jacfwd(lambda v: residual(v, y))(x)
-        J = jnp.einsum("bnbv->bnv", J)
+        J = jnp.einsum("bnbv->bvn", J)
         return r, J
 
     x0 = true + rng.normal(0, 0.3, true.shape).astype(np.float32)
@@ -126,7 +126,7 @@ def test_global_slot_tying(rng):
     def residual_jac(x, y):
         r = residual(x, y)
         J = jax.jacfwd(lambda v: residual(v, y))(x)
-        return r, jnp.einsum("bnbv->bnv", J)
+        return r, jnp.einsum("bnbv->bvn", J)
 
     x0 = np.stack(
         [rng.uniform(2, 6, B), m_true + rng.normal(0, 0.2, B)], -1

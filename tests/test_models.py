@@ -64,7 +64,7 @@ def test_jacobian_matches_autodiff(model_name):
             jnp.asarray(origin), jnp.asarray(norm))
     r, J = fns.residual_jac(vect, *args)
     J_auto = jax.jacfwd(lambda v: fns.residual(v, *args))(vect)
-    J_auto = jnp.einsum("bnbv->bnv", J_auto)
+    J_auto = jnp.einsum("bnbv->bvn", J_auto)
     np.testing.assert_allclose(
         np.asarray(J), np.asarray(J_auto), rtol=2e-3, atol=2e-4
     )
@@ -80,9 +80,9 @@ def test_jacobian_dims(ndim, iso):
     args = (jnp.asarray(params), jnp.asarray(pixels), jnp.asarray(mask),
             jnp.asarray(origin), jnp.asarray(norm))
     r, J = fns.residual_jac(vect, *args)
-    assert J.shape == (3, int(np.prod(window)), layout.n_slots)
+    assert J.shape == (3, layout.n_slots, int(np.prod(window)))
     J_auto = jax.jacfwd(lambda v: fns.residual(v, *args))(vect)
-    J_auto = jnp.einsum("bnbv->bnv", J_auto)
+    J_auto = jnp.einsum("bnbv->bvn", J_auto)
     np.testing.assert_allclose(
         np.asarray(J), np.asarray(J_auto), rtol=2e-3, atol=2e-4
     )
@@ -121,7 +121,7 @@ def test_custom_model_dict():
             jnp.asarray(origin), jnp.asarray(norm))
     r, J = fns.residual_jac(vect, *args)
     J_auto = jax.jacfwd(lambda v: fns.residual(v, *args))(vect)
-    J_auto = jnp.einsum("bnbv->bnv", J_auto)
+    J_auto = jnp.einsum("bnbv->bvn", J_auto)
     np.testing.assert_allclose(
         np.asarray(J), np.asarray(J_auto), rtol=2e-3, atol=2e-4
     )
