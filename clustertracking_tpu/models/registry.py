@@ -74,10 +74,17 @@ class ModelSpec:
     default: Mapping
     continuous: bool = True
     default_mode: Mapping = dataclasses.field(default_factory=dict)
+    # Optional analytic d fun / d r2 (elementwise, broadcastable).  When
+    # absent, jax.grad of the scalar profile is used (exact but builds a
+    # vmapped-grad graph; the analytic form lets XLA CSE shared
+    # subexpressions with the forward profile — hot-path models set it).
+    dfun: Callable = None
 
     # --- derivative accessors (lazily built, cached on the class) ---------
     def dfun_dr2(self) -> Callable:
         """d fun / d r2 as a scalar jax function."""
+        if self.dfun is not None:
+            return self.dfun
         return jax.grad(lambda r2, *e: self.fun(r2, *e), argnums=0)
 
     def dfun_dextra(self, k: int) -> Callable:
@@ -135,8 +142,12 @@ def _make_inv_series(n: int) -> ModelSpec:
     )
 
 
+def _dgauss(r2):
+    return -0.5 * jnp.exp(-0.5 * r2)
+
+
 MODELS: dict = {
-    "gauss": ModelSpec("gauss", (), _gauss, {}),
+    "gauss": ModelSpec("gauss", (), _gauss, {}, dfun=_dgauss),
     "ring": ModelSpec(
         "ring", ("thickness",), _ring, {"thickness": 0.2},
         default_mode={"thickness": "cluster"},
@@ -185,5 +196,6 @@ def get_model(fit_function) -> ModelSpec:
             default=dict(fit_function.get("default", {})),
             continuous=bool(fit_function.get("continuous", True)),
             default_mode=dict(fit_function.get("default_mode", {})),
+            dfun=fit_function.get("dfun"),
         )
     raise TypeError(f"Cannot interpret fit_function={fit_function!r}")

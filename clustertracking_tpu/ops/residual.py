@@ -99,7 +99,10 @@ def make_model_fns(
     size_idx = np.array(layout.size_param_idx)
 
     fun = model.fun
-    dfun_dr2 = jnp.vectorize(model.dfun_dr2())
+    if model.dfun is not None:
+        dfun_dr2 = model.dfun  # analytic, already elementwise
+    else:
+        dfun_dr2 = jnp.vectorize(model.dfun_dr2())
     dfun_dex = [jnp.vectorize(model.dfun_dextra(k)) for k in range(n_extra)]
 
     def _split(params):
@@ -154,56 +157,70 @@ def make_model_fns(
         df = dfun_dr2(r2, *ex_b) if n_extra else dfun_dr2(r2)
         sig_df = signal[:, :, None] * df                     # [B, n, Npix]
 
-        B = vect.shape[0]
         size_bn = jnp.broadcast_to(size, pos.shape)          # [B, n, D]
 
-        # Build J slot-major: one [B, Npix] column per (feature, param),
-        # accumulated into rows of J [B, V, Npix] via a static index map.
-        # Shared (cluster/global) slots receive multiple adds.
-        J = jnp.zeros((B, V, Npix), dtype=dtype)
+        # Per-param derivative columns cols[p] : [B, n, Npix], computed
+        # only for fitted params; J rows are then assembled by *static*
+        # stacking (no scatter: each slot's contributor set is known at
+        # trace time; shared slots sum their contributors).
+        cols = {}
 
-        def scatter(J, p, cols):
-            """cols [B, n, Npix] → add into slot rows of param p."""
-            slots = layout.slot_idx[:, p]
-            if slots[0] < 0:
-                return J
-            return J.at[:, slots, :].add(cols * w[:, None, :])
-
-        # background: d model / d bg = 1 (single shared slot, add once)
         p_bg = layout.background_param_idx
         if layout.slot_idx[0, p_bg] >= 0:
-            s_bg = int(layout.slot_idx[0, p_bg])
-            J = J.at[:, s_bg, :].add(w)
+            # background derivative is 1·w for the single shared slot; the
+            # stacker divides shared rows by nothing — store per-feature
+            # w/n so the summed row equals w exactly.
+            cols[p_bg] = jnp.broadcast_to(
+                (w / n)[:, None, :], (w.shape[0], n, Npix)
+            )
 
-        # signal_i: fun(r2_i)
-        J = scatter(J, layout.signal_param_idx, fvals)
+        def fitted(p):
+            return layout.slot_idx[0, p] >= 0
 
-        # pos_{i,d}: signal_i * f'(r2_i) * (-2 * dxs_d / size_d)
+        if fitted(layout.signal_param_idx):
+            cols[layout.signal_param_idx] = fvals * w[:, None, :]
+
         for d_axis, p in enumerate(layout.pos_param_idx):
-            s_d = size_bn[..., d_axis]                       # [B, n]
-            cols = sig_df * (-2.0) * dxs[:, :, d_axis, :] / s_d[..., None]
-            J = scatter(J, p, cols)
+            if fitted(p):
+                s_d = size_bn[..., d_axis]                   # [B, n]
+                cols[p] = (
+                    sig_df * (-2.0) * dxs[:, :, d_axis, :]
+                    / s_d[..., None] * w[:, None, :]
+                )
 
-        # sizes: iso: dr2/ds = -2 r2 / s ; aniso: dr2/ds_d = -2 dxs_d^2/s_d
         if layout.isotropic:
             p = layout.size_param_idx[0]
-            s = size[..., 0]
-            cols = sig_df * (-2.0) * r2 / s[:, :, None]
-            J = scatter(J, p, cols)
+            if fitted(p):
+                s = size[..., 0]
+                cols[p] = (
+                    sig_df * (-2.0) * r2 / s[:, :, None] * w[:, None, :]
+                )
         else:
             for d_axis, p in enumerate(layout.size_param_idx):
-                s_d = size[..., d_axis]
-                cols = (
-                    sig_df * (-2.0) * dxs[:, :, d_axis, :] ** 2
-                    / s_d[:, :, None]
-                )
-                J = scatter(J, p, cols)
+                if fitted(p):
+                    s_d = size[..., d_axis]
+                    cols[p] = (
+                        sig_df * (-2.0) * dxs[:, :, d_axis, :] ** 2
+                        / s_d[:, :, None] * w[:, None, :]
+                    )
 
-        # model extras: signal_i * d fun / d extra_k
         for k, p in enumerate(extra_param_idx):
-            cols = signal[:, :, None] * dfun_dex[k](r2, *ex_b)
-            J = scatter(J, p, cols)
+            if fitted(p):
+                cols[p] = (
+                    signal[:, :, None] * dfun_dex[k](r2, *ex_b)
+                    * w[:, None, :]
+                )
 
+        # slot v ← sum of its (feature, param) contributors (static map)
+        rows = [None] * V
+        for p, c in cols.items():
+            slots = layout.slot_idx[:, p]
+            if slots[0] == slots[-1] and n > 1:  # shared slot: sum feats
+                rows[int(slots[0])] = jnp.sum(c, axis=1)
+            else:
+                for i in range(n):
+                    rows[int(slots[i])] = c[:, i, :]
+        J = jnp.stack(rows, axis=1)                          # [B, V, Npix]
         return r, J
 
     return ModelFns(
