@@ -27,6 +27,7 @@ from .constraints import (  # noqa: E402
 )
 from .link import link, link_df  # noqa: E402
 from . import artificial, motion  # noqa: E402
+from .pipeline import locate, track  # noqa: E402
 
 __all__ = [
     "find_clusters",
@@ -38,6 +39,8 @@ __all__ = [
     "dimer_global",
     "link",
     "link_df",
+    "locate",
+    "track",
     "artificial",
     "motion",
     "models",

@@ -33,12 +33,22 @@ def link(
     memory: int = 0,
     pos_columns: Optional[list] = None,
     t_column: str = "frame",
+    backend: str = "host",
 ) -> pd.DataFrame:
-    """Assign a ``particle`` column linking features across frames."""
+    """Assign a ``particle`` column linking features across frames.
+
+    backend='host' is the exact greedy-by-distance reference path;
+    backend='device' runs the lax.scan mutual-NN linker (ops/link.py) —
+    same result on unambiguous frames, documented tie-breaking otherwise.
+    """
     from scipy.spatial import cKDTree
 
     if pos_columns is None:
         pos_columns = guess_pos_columns(f)
+    if backend == "device":
+        return _link_device(f, search_range, memory, pos_columns, t_column)
+    if backend != "host":
+        raise ValueError(f"Unknown backend {backend!r}")
     f = f.sort_values(t_column, kind="stable").copy()
     particle = np.full(len(f), -1, dtype=np.int64)
 
@@ -103,6 +113,42 @@ def link(
 
     f["particle"] = particle
     return f.sort_index()
+
+
+def _link_device(f, search_range, memory, pos_columns, t_column):
+    """Pad per-frame features to a static K and run ops/link.py's scan."""
+    import jax.numpy as jnp
+
+    from .ops.link import link_on_device
+
+    f = f.copy()
+    frames = sorted(f[t_column].unique())
+    tmap = {int(t): i for i, t in enumerate(frames)}
+    T = len(frames)
+    counts = f.groupby(t_column).size()
+    K = int(counts.max())
+    D = len(pos_columns)
+    positions = np.full((T, K, D), 1e8, dtype=np.float32)
+    valid = np.zeros((T, K), dtype=bool)
+    slots = np.empty(len(f), dtype=np.int64)
+    fill = {i: 0 for i in range(T)}
+    tcol = f[t_column].to_numpy()
+    pos_all = f[pos_columns].to_numpy(dtype=np.float32)
+    for row in range(len(f)):
+        ti = tmap[int(tcol[row])]
+        k = fill[ti]
+        positions[ti, k] = pos_all[row]
+        valid[ti, k] = True
+        slots[row] = ti * K + k
+        fill[ti] = k + 1
+    particles = np.asarray(
+        link_on_device(
+            jnp.asarray(positions), jnp.asarray(valid),
+            float(search_range), int(memory),
+        )
+    ).reshape(-1)
+    f["particle"] = particles[slots]
+    return f
 
 
 # Reference-compatible alias (trackpy.link_df name)

@@ -1,0 +1,116 @@
+"""End-to-end video tracking: locate → find → refine → link.
+
+The reference has no single pipeline entry point — users compose
+trackpy.locate/grey_dilation → find_clusters → refine_leastsq →
+trackpy.link_df (SURVEY.md §3.4).  This module provides that composition
+as one call, with the candidate locator and linker replaced by the
+on-device implementations (ops/locate.py, ops/link.py) so a dense video
+(BASELINE config 5: ~10k overlapping features/frame) flows without host
+round-trips in the hot stages.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .find import find_clusters
+from .link import link as _link
+from .ops.locate import grey_dilation
+from .refine import refine_leastsq
+from .utils import default_pos_columns, validate_tuple
+
+__all__ = ["locate", "track"]
+
+
+def locate(
+    image,
+    diameter,
+    separation=None,
+    threshold=None,
+    percentile: float = 64.0,
+    max_features: int = 4096,
+    pos_columns: Optional[list] = None,
+) -> pd.DataFrame:
+    """Candidate features of one frame (integer-pixel local maxima).
+
+    The trackpy.locate stand-in that seeds find_clusters; sub-pixel
+    refinement is refine_leastsq's job."""
+    image = np.asarray(image)
+    ndim = image.ndim
+    diameter = validate_tuple(diameter, ndim)
+    if separation is None:
+        separation = diameter
+    separation = validate_tuple(separation, ndim)
+    if pos_columns is None:
+        pos_columns = default_pos_columns(ndim)
+    coords, vals, valid = grey_dilation(
+        image.astype(np.float32), separation,
+        percentile=percentile, max_features=max_features,
+        threshold=threshold,
+    )
+    ok = np.asarray(valid)
+    f = pd.DataFrame(
+        np.asarray(coords)[ok].astype(float), columns=pos_columns
+    )
+    f["signal"] = np.asarray(vals)[ok]
+    return f
+
+
+def track(
+    reader,
+    diameter,
+    separation=None,
+    search_range: Optional[float] = None,
+    memory: int = 0,
+    n_frames: Optional[int] = None,
+    locate_separation=None,
+    threshold=None,
+    percentile: float = 64.0,
+    max_features: int = 4096,
+    link_backend: str = "device",
+    find_backend: str = "host",
+    t_column: str = "frame",
+    **refine_kwargs,
+) -> pd.DataFrame:
+    """Full pipeline over a video reader: returns refined, linked features.
+
+    ``reader[t]`` must yield frames (CoordinateReader, ndarray stack via a
+    list, or any pims-like reader)."""
+    if n_frames is None:
+        n_frames = len(reader)
+    if locate_separation is None:
+        # cluster members sit CLOSER than `separation` by definition, so
+        # peak suppression must use a tighter window or overlapping
+        # features merge into one candidate
+        sep0 = separation if separation is not None else diameter
+        ndim0 = np.asarray(reader[0]).ndim
+        locate_separation = tuple(
+            max(2, int(round(s / 2))) for s in validate_tuple(sep0, ndim0)
+        )
+    frames_f = []
+    for t in range(n_frames):
+        image = np.asarray(reader[t])
+        f_t = locate(
+            image, diameter, locate_separation, threshold=threshold,
+            percentile=percentile, max_features=max_features,
+        )
+        f_t[t_column] = t
+        frames_f.append(f_t)
+    f = pd.concat(frames_f, ignore_index=True)
+
+    ndim = len(default_pos_columns(np.asarray(reader[0]).ndim))
+    sep = separation if separation is not None else diameter
+    f = find_clusters(f, sep, t_column=t_column, backend=find_backend)
+    f = refine_leastsq(
+        f, reader, diameter, sep, t_column=t_column, **refine_kwargs
+    )
+    ok = f["cost"].notna()
+    f = f[ok].reset_index(drop=True)
+    if search_range is None:
+        search_range = float(np.mean(validate_tuple(diameter, ndim)))
+    return _link(
+        f, search_range, memory=memory, t_column=t_column,
+        backend=link_backend,
+    )

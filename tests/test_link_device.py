@@ -1,0 +1,78 @@
+"""Device (lax.scan mutual-NN) linker vs host reference linker."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from clustertracking_tpu import link
+
+
+def _walkers(rng, n=8, T=12, step=0.3, span=(10, 90)):
+    starts = np.stack(
+        [np.linspace(span[0], span[1], n),
+         np.linspace(span[0], span[1], n)], axis=-1
+    )
+    rows = []
+    pos = starts.copy()
+    for t in range(T):
+        pos = pos + rng.normal(0, step, pos.shape)
+        for i in range(n):
+            rows.append({"frame": t, "y": pos[i, 0], "x": pos[i, 1]})
+    return pd.DataFrame(rows)
+
+
+def _tracks_as_sets(out):
+    """Compare assignments up to particle-id relabeling."""
+    return sorted(
+        tuple(sorted(map(tuple, g[["frame", "y"]].to_numpy().tolist())))
+        for _, g in out.groupby("particle")
+    )
+
+
+def test_device_matches_host_unambiguous(rng):
+    f = _walkers(rng)
+    out_h = link(f, search_range=3.0, backend="host")
+    out_d = link(f, search_range=3.0, backend="device")
+    assert _tracks_as_sets(out_h) == _tracks_as_sets(out_d)
+
+
+def test_device_memory_bridges_gap():
+    rows = [
+        {"frame": 0, "y": 10.0, "x": 10.0},
+        {"frame": 1, "y": 10.5, "x": 10.0},
+        {"frame": 3, "y": 11.5, "x": 10.0},
+    ]
+    # a second steady particle keeps frame 2 non-empty
+    rows += [{"frame": t, "y": 50.0, "x": 50.0} for t in range(4)]
+    f = pd.DataFrame(rows)
+    out0 = link(f, search_range=2.0, memory=0, backend="device")
+    assert out0["particle"].iloc[2] != out0["particle"].iloc[0]
+    out1 = link(f, search_range=2.0, memory=1, backend="device")
+    assert out1["particle"].iloc[2] == out1["particle"].iloc[0]
+    # the steady particle is one track in both
+    steady = out1.iloc[3:]
+    assert steady["particle"].nunique() == 1
+
+
+def test_device_new_particles_on_entry(rng):
+    rows = [{"frame": 0, "y": 10.0, "x": 10.0}]
+    rows += [{"frame": 1, "y": 10.2, "x": 10.0},
+             {"frame": 1, "y": 40.0, "x": 40.0}]
+    f = pd.DataFrame(rows)
+    out = link(f, search_range=2.0, backend="device")
+    assert out["particle"].nunique() == 2
+    assert out["particle"].iloc[0] == out["particle"].iloc[1]
+
+
+def test_device_varying_counts(rng):
+    """Features appearing/disappearing across frames (ragged → padded)."""
+    rows = []
+    for t in range(6):
+        rows.append({"frame": t, "y": 20.0 + 0.2 * t, "x": 20.0})
+        if t % 2 == 0:
+            rows.append({"frame": t, "y": 60.0, "x": 60.0 + 0.2 * t})
+    f = pd.DataFrame(rows)
+    out = link(f, search_range=2.0, memory=1, backend="device")
+    main = out[out["y"] < 40]
+    assert main["particle"].nunique() == 1
+    blink = out[out["y"] > 40]
+    assert blink["particle"].nunique() == 1  # memory=1 bridges gaps

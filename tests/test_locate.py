@@ -1,0 +1,71 @@
+"""On-device candidate location (grey_dilation replacement)."""
+import numpy as np
+import pytest
+
+from clustertracking_tpu import artificial
+from clustertracking_tpu.ops.locate import grey_dilation, local_maxima
+
+
+def test_finds_isolated_features():
+    img = np.zeros((64, 64), np.float32)
+    truth = np.array([[10, 12], [30, 40], [50, 20]], float)
+    for p in truth:
+        artificial.draw_feature(img, p, 2.0, signal=100.0)
+    coords, vals, valid = local_maxima(img, (5, 5), max_features=8,
+                                       threshold=10.0)
+    coords = np.asarray(coords)[np.asarray(valid)]
+    assert len(coords) == 3
+    got = coords[np.lexsort(coords.T[::-1])]
+    want = truth[np.lexsort(truth.T[::-1])].astype(int)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_threshold_excludes_dim_features():
+    img = np.zeros((64, 64), np.float32)
+    artificial.draw_feature(img, (10, 10), 2.0, signal=100.0)
+    artificial.draw_feature(img, (40, 40), 2.0, signal=5.0)
+    coords, vals, valid = local_maxima(img, (5, 5), max_features=8,
+                                       threshold=20.0)
+    assert int(np.asarray(valid).sum()) == 1
+
+
+def test_brightest_first_and_padding():
+    img = np.zeros((32, 32), np.float32)
+    artificial.draw_feature(img, (8, 8), 1.5, signal=50.0)
+    artificial.draw_feature(img, (20, 20), 1.5, signal=150.0)
+    coords, vals, valid = local_maxima(img, (5, 5), max_features=4,
+                                       threshold=1.0)
+    vals = np.asarray(vals)
+    assert np.asarray(valid).sum() == 2
+    assert vals[0] > vals[1]  # brightest first
+    assert tuple(np.asarray(coords)[0]) == (20, 20)
+
+
+def test_plateau_gives_single_maximum():
+    img = np.zeros((32, 32), np.float32)
+    img[10:12, 10:12] = 7.0  # 2x2 exact plateau
+    coords, vals, valid = local_maxima(img, (5, 5), max_features=4,
+                                       threshold=1.0)
+    assert int(np.asarray(valid).sum()) == 1
+
+
+def test_grey_dilation_percentile_threshold(rng):
+    img = rng.normal(0, 1, (64, 64)).astype(np.float32)
+    artificial.draw_feature(img, (32, 32), 2.0, signal=60.0)
+    coords, vals, valid = grey_dilation(img, 7, percentile=99.9,
+                                        max_features=16)
+    coords = np.asarray(coords)[np.asarray(valid)]
+    assert any((abs(c[0] - 32) <= 1 and abs(c[1] - 32) <= 1)
+               for c in coords)
+
+
+def test_dense_frame_counts():
+    img = np.zeros((128, 128), np.float32)
+    truth = artificial.gen_nonoverlapping_locations(
+        (128, 128), 40, separation=9, margin=6, rng=3
+    )
+    for p in truth:
+        artificial.draw_feature(img, p, 2.0, signal=100.0)
+    coords, vals, valid = local_maxima(img, (7, 7), max_features=64,
+                                       threshold=20.0)
+    assert int(np.asarray(valid).sum()) == len(truth)

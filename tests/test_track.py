@@ -1,0 +1,62 @@
+"""ct.track: composed locate→find→refine→link pipeline (SURVEY.md §3.4)."""
+import numpy as np
+import pandas as pd
+from scipy.spatial import cKDTree
+
+import clustertracking_tpu as ct
+from clustertracking_tpu import artificial
+
+
+def _dimer_video(T=6, shape=(80, 80), seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    centers = np.array([[20.0, 20.0], [20.0, 60.0], [60.0, 40.0]])
+    angles = np.array([0.3, 1.2, 2.0])
+    for t in range(T):
+        for k in range(len(centers)):
+            u = np.array([np.sin(angles[k]), np.cos(angles[k])])
+            for s in (1, -1):
+                p = centers[k] + s * 2.5 * u
+                rows.append(
+                    {"frame": t, "y": p[0], "x": p[1], "signal": 200.0}
+                )
+        centers += rng.normal(0, 0.3, centers.shape)
+        angles += rng.normal(0, 0.05, angles.shape)
+    truth = pd.DataFrame(rows)
+    return truth, artificial.CoordinateReader(truth, shape, size=2.0)
+
+
+def test_track_end_to_end():
+    truth, reader = _dimer_video()
+    out = ct.track(
+        reader, diameter=7, separation=6.0, search_range=2.0,
+        param_val={"size": 2.0}, threshold=20.0,
+    )
+    # six full-length trajectories
+    counts = out.groupby("particle").size()
+    assert out["particle"].nunique() == 6
+    assert (counts == truth["frame"].nunique()).all()
+    # every refined position matches a generating coordinate sub-pixel
+    for t in sorted(truth["frame"].unique()):
+        got = out[out["frame"] == t][["y", "x"]].to_numpy()
+        want = truth[truth["frame"] == t][["y", "x"]].to_numpy()
+        d, _ = cKDTree(want).query(got)
+        assert d.max() < 0.01
+
+
+def test_locate_single_frame():
+    img = np.zeros((64, 64), np.float32)
+    artificial.draw_feature(img, (20.0, 30.0), 2.0, signal=100.0)
+    f = ct.locate(img, diameter=7, threshold=10.0)
+    assert len(f) == 1
+    assert abs(f["y"].iloc[0] - 20) <= 1 and abs(f["x"].iloc[0] - 30) <= 1
+    assert f["signal"].iloc[0] > 90
+
+
+def test_track_host_link_backend():
+    truth, reader = _dimer_video(T=4)
+    out = ct.track(
+        reader, diameter=7, separation=6.0, search_range=2.0,
+        param_val={"size": 2.0}, threshold=20.0, link_backend="host",
+    )
+    assert out["particle"].nunique() == 6
