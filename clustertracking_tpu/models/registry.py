@@ -125,6 +125,19 @@ def _make_inv_series(n: int) -> ModelSpec:
             p = p * r2
         return 1.0 / acc
 
+    def dfun(r2, *coeffs):
+        # d/dr2 (1/A) = -A'/A²,  A' = Σ_k c_k · k · r2^(k-1)
+        acc = jnp.asarray(1.0, dtype=jnp.result_type(r2))
+        dacc = jnp.zeros_like(r2)
+        p = r2
+        dp = jnp.ones_like(r2)
+        for k, c in enumerate(coeffs, start=1):
+            acc = acc + c * p
+            dacc = dacc + c * k * dp
+            dp = p
+            p = p * r2
+        return -dacc / (acc * acc)
+
     # Default coefficients: match the Taylor series of exp(r2/2) so the
     # untrained model approximates a Gaussian (1/exp(-r2/2) = exp(r2/2)).
     fact = 1.0
@@ -139,6 +152,7 @@ def _make_inv_series(n: int) -> ModelSpec:
         default=defaults,
         continuous=True,
         default_mode={name: "global" for name in names},
+        dfun=dfun,
     )
 
 
@@ -146,17 +160,38 @@ def _dgauss(r2):
     return -0.5 * jnp.exp(-0.5 * r2)
 
 
+def _dring(r2, thickness):
+    # d/dr2 exp(-(r-1)²/(2t²)) = f · (1-r)/t² · dr/dr2,  dr/dr2 = 1/(2r)
+    r = jnp.sqrt(r2 + 1e-12)
+    f = jnp.exp(-0.5 * ((r - 1.0) / thickness) ** 2)
+    return f * (1.0 - r) / (thickness * thickness) * 0.5 / r
+
+
+def _dhat(r2, disc_size):
+    r = jnp.sqrt(r2 + 1e-12)
+    edge = jnp.maximum(r - disc_size, 0.0)
+    sigma = jnp.maximum(1.0 - disc_size, 1e-3)
+    f = jnp.exp(-0.5 * (edge / sigma) ** 2)
+    return f * (-edge) / (sigma * sigma) * 0.5 / r
+
+
+def _ddisc(r2):
+    r = jnp.sqrt(r2 + 1e-12)
+    s = jax.nn.sigmoid((1.0 - r) / 0.1)
+    return s * (1.0 - s) * (-10.0) * 0.5 / r
+
+
 MODELS: dict = {
     "gauss": ModelSpec("gauss", (), _gauss, {}, dfun=_dgauss),
     "ring": ModelSpec(
         "ring", ("thickness",), _ring, {"thickness": 0.2},
-        default_mode={"thickness": "cluster"},
+        default_mode={"thickness": "cluster"}, dfun=_dring,
     ),
     "hat": ModelSpec(
         "hat", ("disc_size",), _hat, {"disc_size": 0.5},
-        default_mode={"disc_size": "cluster"},
+        default_mode={"disc_size": "cluster"}, dfun=_dhat,
     ),
-    "disc": ModelSpec("disc", (), _disc, {}, continuous=False),
+    "disc": ModelSpec("disc", (), _disc, {}, continuous=False, dfun=_ddisc),
 }
 
 _INV_SERIES_RE = re.compile(r"^inv_series_(\d+)$")

@@ -1,0 +1,419 @@
+"""Fused Pallas LM kernel — the whole lockstep Levenberg–Marquardt solve
+for one bucket runs inside VMEM (SURVEY.md §7 M6).
+
+The XLA path (ops/lm.py) materializes the Jacobian [B, V, Npix] in HBM every
+LM iteration (~33 MB at B=8192 for a dimer) and round-trips residual/trial
+evaluations through HBM between fused regions; measured cost ~2.3 ms per LM
+iteration at B=8192.  This kernel instead keeps *everything* — pixels, mask,
+packed parameter vector, Jacobian rows, normal equations, damping state —
+resident in VMEM for the entire solve of a 128-cluster tile, so HBM is
+touched exactly once on the way in and once on the way out.
+
+Layout rule (the TPU-native core of the design): **the cluster batch is the
+128-wide lane axis**.  Every scalar-per-cluster quantity (a parameter slot,
+λ, cost) is a ``[1, TILE_B]`` row; every pixel field is ``[Npix, TILE_B]``
+(Npix on sublanes, padded to a multiple of 8).  The hand-unrolled Cholesky
+solve of the V×V normal equations then becomes pure elementwise VPU code on
+rows — all 128 lanes solve their own system simultaneously, no matrix op
+ever has a tiny trailing dim.
+
+Numerics are kept identical to ops/lm.py::lm_solve (same damping schedule,
+acceptance rule, ftol/xtol/plateau convergence tests), so the scipy-parity
+guarantees of the XLA path carry over; tests assert pallas-vs-XLA agreement
+lane by lane.
+
+Per-tile early exit: the while_loop condition is per 128-lane tile, so a
+tile whose clusters all converge in 8 iterations stops at 8 even when some
+other tile needs 40 — strictly better than the XLA path's global lockstep.
+
+Reference parity: this replaces MINPACK lmdif/lmder under
+scipy.optimize.leastsq in clustertracking/refine.py::refine_leastsq
+(SURVEY.md §3.1 "THE compute kernel").
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.packing import ParamLayout
+from ..models.registry import ModelSpec
+from .lm import LMResult
+
+__all__ = ["make_pallas_lm", "pallas_available"]
+
+
+def pallas_available(model: ModelSpec, layout: ParamLayout,
+                     use_global: bool, constraint) -> bool:
+    """Whether the fused kernel covers this bucket configuration.
+
+    Not covered (falls back to ops/lm.py): cross-lane-tied 'global' slots
+    (need a cross-tile reduction), rigid/generic constraints (need jacfwd
+    through the pose map), and zero-slot layouts.
+    """
+    return (not use_global) and constraint is None and layout.n_slots > 0
+
+
+def _row(a, i):
+    """Row i of a [R, TB] ref/array as a [1, TB] array."""
+    return a[i : i + 1, :]
+
+
+def make_pallas_lm(
+    model: ModelSpec,
+    layout: ParamLayout,
+    window_shape: tuple,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    *,
+    max_iter: int = 60,
+    ftol: float = 1.49e-8,
+    xtol: float = 1.49e-8,
+    lam0: float = 1e-3,
+    lam_up: float = 4.0,
+    lam_down: float = 0.25,
+    lam_max: float = 1e10,
+    tile_b: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """Build the fused LM solver for one bucket configuration.
+
+    Returns ``solve(vect0 [B,V], const_params [B,n,P], pixels [B,Npix],
+    mask [B,Npix], origin [B,D] int32, norm [B], valid [B] bool) ->
+    LMResult`` — a drop-in for ops/lm.py::lm_solve with the residual
+    closed over (gauss-family sum-of-profiles model, analytic Jacobian).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    D = layout.ndim
+    n = layout.n_features
+    P = layout.n_params
+    V = layout.n_slots
+    slot_idx = layout.slot_idx  # [n, P] int, -1 = const
+    Npix = int(np.prod(window_shape))
+    n_extra = len(model.extra_params)
+    extra_p = tuple(layout.param_names.index(nm) for nm in model.extra_params)
+    pos_p = layout.pos_param_idx
+    size_p = layout.size_param_idx
+    sig_p = layout.signal_param_idx
+    bg_p = layout.background_param_idx
+    fun = model.fun
+    dfun = model.dfun if model.dfun is not None else \
+        jnp.vectorize(model.dfun_dr2())
+    dfun_dex = [jnp.vectorize(model.dfun_dextra(k)) for k in range(n_extra)]
+
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    clip_slots = [
+        v for v in range(V)
+        if np.isfinite(lo[v]) or np.isfinite(hi[v])
+    ]
+
+    def kernel(vect_ref, cp_ref, pix_ref, mask_ref, org_ref, aux_ref,
+               xout_ref, stats_ref):
+        pix = pix_ref[:]                      # [Npix, TB]
+        mask = mask_ref[:]                    # [Npix, TB]
+        norm = _row(aux_ref, 0)               # [1, TB]
+        valid = _row(aux_ref, 1) > 0.5        # [1, TB] bool
+        w = mask / norm                       # [Npix, TB]
+        org = org_ref[:]                      # [D, TB] f32
+        cp = cp_ref[:]                        # [n*P, TB]
+        # Window pixel-offset columns [Npix, 1], generated in-register from
+        # iota (pallas kernels cannot capture array constants).
+        pix_ids = jax.lax.broadcasted_iota(jnp.int32, (Npix, 1), 0)
+        off = []
+        stride = Npix
+        for d in range(D):
+            stride //= window_shape[d]
+            off.append(((pix_ids // stride) % window_shape[d])
+                       .astype(jnp.float32))
+
+        def prow(x, i, p):
+            """Parameter (feature i, param p) as a [1, TB] row."""
+            s = int(slot_idx[i, p])
+            if s >= 0:
+                return _row(x, s)
+            return _row(cp, i * P + p)
+
+        def clip(x):
+            rows = []
+            for v in range(V):
+                r = _row(x, v)
+                if np.isfinite(lo[v]):
+                    r = jnp.maximum(r, lo[v])
+                if np.isfinite(hi[v]):
+                    r = jnp.minimum(r, hi[v])
+                rows.append(r)
+            return jnp.concatenate(rows, axis=0)
+
+        def model_eval(x, with_jac):
+            """residual r [Npix, TB]; if with_jac also J rows (list of V)."""
+            img = jnp.broadcast_to(prow(x, 0, bg_p), pix.shape)
+            Jrows = [None] * V if with_jac else None
+
+            def add(v, contrib):
+                if Jrows[v] is None:
+                    Jrows[v] = contrib
+                else:
+                    Jrows[v] = Jrows[v] + contrib
+
+            # background: one shared slot, dI/dbg = 1 (added once, not per
+            # feature — the model has a single background per cluster)
+            if with_jac and slot_idx[0, bg_p] >= 0:
+                add(int(slot_idx[0, bg_p]), w)
+
+            for i in range(n):
+                sig = prow(x, i, sig_p)
+                ex = [prow(x, i, p) for p in extra_p]
+                sizes = [prow(x, i, p) for p in size_p]
+                dxs = []
+                r2 = None
+                for d in range(D):
+                    s_d = sizes[0] if layout.isotropic else sizes[d]
+                    rel = prow(x, i, pos_p[d]) - _row(org, d)
+                    dx = (off[d] - rel) / s_d          # [Npix, TB]
+                    dxs.append(dx)
+                    r2 = dx * dx if r2 is None else r2 + dx * dx
+                f = fun(r2, *ex) if n_extra else fun(r2)
+                img = img + sig * f
+                if not with_jac:
+                    continue
+                sig_df = sig * (dfun(r2, *ex) if n_extra else dfun(r2))
+                if slot_idx[i, sig_p] >= 0:
+                    add(int(slot_idx[i, sig_p]), f * w)
+                for d in range(D):
+                    if slot_idx[i, pos_p[d]] >= 0:
+                        s_d = sizes[0] if layout.isotropic else sizes[d]
+                        add(
+                            int(slot_idx[i, pos_p[d]]),
+                            sig_df * (-2.0) * dxs[d] / s_d * w,
+                        )
+                if layout.isotropic:
+                    if slot_idx[i, size_p[0]] >= 0:
+                        add(
+                            int(slot_idx[i, size_p[0]]),
+                            sig_df * (-2.0) * r2 / sizes[0] * w,
+                        )
+                else:
+                    for d in range(D):
+                        if slot_idx[i, size_p[d]] >= 0:
+                            add(
+                                int(slot_idx[i, size_p[d]]),
+                                sig_df * (-2.0) * dxs[d] * dxs[d]
+                                / sizes[d] * w,
+                            )
+                for k, p in enumerate(extra_p):
+                    if slot_idx[i, p] >= 0:
+                        add(
+                            int(slot_idx[i, p]),
+                            sig * dfun_dex[k](r2, *ex) * w,
+                        )
+            r = (img - pix) * w
+            return (r, Jrows) if with_jac else r
+
+        def cost_of(r):
+            return jnp.sum(r * r, axis=0, keepdims=True)  # [1, TB]
+
+        def damped_solve(H, g, lam):
+            """Unrolled row-wise Cholesky of (H + λ·diag(H) + εI)x = -g.
+
+            H: dict-of-dicts of [1, TB] rows (upper triangle u<=v),
+            g: list of V rows.  All elementwise VPU code over lanes."""
+            A = [[None] * V for _ in range(V)]
+            for u in range(V):
+                for v in range(u, V):
+                    A[u][v] = H[u][v]
+            for v in range(V):
+                d = jnp.maximum(H[v][v], 1e-12)
+                A[v][v] = H[v][v] + lam * d + 1e-10
+            L = [[None] * V for _ in range(V)]
+            for j in range(V):
+                s = A[j][j]
+                for k in range(j):
+                    s = s - L[j][k] * L[j][k]
+                dj = jnp.sqrt(jnp.maximum(s, 1e-20))
+                L[j][j] = dj
+                inv_dj = 1.0 / dj
+                for i2 in range(j + 1, V):
+                    s = A[j][i2]  # upper-triangle storage: A[min][max]
+                    for k in range(j):
+                        s = s - L[i2][k] * L[j][k]
+                    L[i2][j] = s * inv_dj
+            y = [None] * V
+            for i2 in range(V):
+                s = -g[i2]
+                for k in range(i2):
+                    s = s - L[i2][k] * y[k]
+                y[i2] = s / L[i2][i2]
+            xs = [None] * V
+            for i2 in reversed(range(V)):
+                s = y[i2]
+                for k in range(i2 + 1, V):
+                    s = s - L[k][i2] * xs[k]
+                xs[i2] = s / L[i2][i2]
+            return jnp.concatenate(xs, axis=0)  # [V, TB]
+
+        x0 = clip(vect_ref[:])
+        c0 = cost_of(model_eval(x0, with_jac=False))
+        TB = pix.shape[1]
+
+        # Loop state must carry full-sublane-tile vectors (Mosaic cannot
+        # yield padded [1, TB] vregs through scf loops): x is padded to a
+        # multiple of 8 rows; the five per-lane scalar rows (cost, lam,
+        # active, n_iter, converged) are packed into one [8, TB] array.
+        Vpad = -(-V // 8) * 8
+
+        def pack_x(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((Vpad - V, TB), x.dtype)], axis=0
+            ) if Vpad > V else x
+
+        def pack_s(cost, lam, active, n_iter, converged):
+            return jnp.concatenate([
+                cost, lam, active.astype(jnp.float32), n_iter,
+                converged.astype(jnp.float32),
+                jnp.zeros((3, TB), jnp.float32),
+            ], axis=0)
+
+        def cond(state):
+            it, _, s = state
+            return (it < max_iter) & jnp.any(_row(s, 2) > 0.5)
+
+        def body(state):
+            it, xp, s = state
+            x = xp[:V, :]
+            cost = _row(s, 0)
+            lam = _row(s, 1)
+            active = _row(s, 2) > 0.5
+            n_iter = _row(s, 3)
+            converged = _row(s, 4) > 0.5
+            r, Jrows = model_eval(x, with_jac=True)
+            g = [jnp.sum(Jrows[v] * r, axis=0, keepdims=True)
+                 for v in range(V)]
+            H = [[None] * V for _ in range(V)]
+            for u in range(V):
+                for v in range(u, V):
+                    H[u][v] = jnp.sum(Jrows[u] * Jrows[v], axis=0,
+                                      keepdims=True)
+                    H[v][u] = H[u][v]  # symmetric (shared row, no copy)
+            delta = damped_solve(H, g, lam)
+            x_trial = clip(x + delta)
+            step = x_trial - x
+            c_trial = cost_of(model_eval(x_trial, with_jac=False))
+            better = c_trial < cost
+
+            accept = active & better
+            x_new = jnp.where(accept, x_trial, x)
+            cost_new = jnp.where(accept, c_trial, cost)
+            lam_new = jnp.where(
+                accept, lam * lam_down, jnp.minimum(lam * lam_up, lam_max)
+            )
+            lam_new = jnp.where(active, lam_new, lam)
+
+            # convergence tests — bit-for-bit the ops/lm.py::lm_solve rules
+            xnorm = jnp.max(jnp.abs(x), axis=0, keepdims=True)
+            snorm = jnp.max(jnp.abs(step), axis=0, keepdims=True)
+            conv_x = accept & (snorm <= xtol * (xtol + xnorm))
+            conv_f = accept & (
+                (cost - c_trial) <= ftol * jnp.maximum(cost, 1e-30)
+            )
+            plateau = (lam_new >= 1e6 * lam0) & jnp.isfinite(cost_new)
+            stuck = lam_new >= lam_max
+            conv_now = conv_x | conv_f | plateau
+            newly_done = active & (conv_now | stuck)
+
+            return (
+                it + 1,
+                pack_x(x_new),
+                pack_s(
+                    cost_new,
+                    lam_new,
+                    active & ~newly_done,
+                    n_iter + active.astype(jnp.float32),
+                    converged | (active & conv_now),
+                ),
+            )
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            pack_x(x0),
+            pack_s(
+                c0,
+                jnp.full((1, TB), lam0, jnp.float32),
+                valid,
+                jnp.zeros((1, TB), jnp.float32),
+                jnp.zeros((1, TB), bool),
+            ),
+        )
+        _, xp, s = jax.lax.while_loop(cond, body, init)
+        xout_ref[:] = xp[:V, :]
+        stats_ref[0:1, :] = _row(s, 0)   # cost
+        stats_ref[1:2, :] = _row(s, 3)   # n_iter
+        stats_ref[2:3, :] = _row(s, 4)   # converged
+        stats_ref[3:4, :] = _row(s, 1)   # lam
+
+    def solve(vect0, const_params, pixels, mask, origin, norm, valid):
+        B = vect0.shape[0]
+        Bpad = max(tile_b, -(-B // tile_b) * tile_b)
+        pad = Bpad - B
+
+        def padB(a, fill=None):
+            if pad == 0:
+                return a
+            if fill is None:  # replicate lane 0 (numerically benign)
+                rep = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
+            else:
+                rep = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([a, rep], axis=0)
+
+        vT = padB(vect0).T                                    # [V, Bp]
+        cpT = padB(const_params).reshape(Bpad, n * P).T       # [nP, Bp]
+        pixT = padB(pixels).T                                 # [Npix, Bp]
+        maskT = padB(mask).T
+        orgT = padB(origin).astype(jnp.float32).T             # [D, Bp]
+        aux = jnp.stack(
+            [padB(norm), padB(valid, fill=False).astype(norm.dtype)],
+            axis=0,
+        )                                                     # [2, Bp]
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        grid = (Bpad // tile_b,)
+
+        def spec(rows):
+            return pl.BlockSpec(
+                (rows, tile_b), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+
+        xT, stats = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                spec(V), spec(n * P), spec(Npix), spec(Npix),
+                spec(D), spec(2),
+            ],
+            out_specs=[spec(V), spec(4)],
+            out_shape=[
+                jax.ShapeDtypeStruct((V, Bpad), jnp.float32),
+                jax.ShapeDtypeStruct((4, Bpad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(vT, cpT, pixT, maskT, orgT, aux)
+
+        return LMResult(
+            x=xT.T[:B],
+            cost=stats[0, :B],
+            n_iter=stats[1, :B].astype(jnp.int32),
+            converged=stats[2, :B] > 0.5,
+        )
+
+    return solve

@@ -100,6 +100,7 @@ def _bucket_solver(
     ftol: float,
     xtol: float,
     compute_error: bool,
+    lm_backend: str = "auto",
 ):
     """Build the jitted lockstep solver for one bucket configuration.
 
@@ -204,6 +205,29 @@ def _bucket_solver(
         np.any(layout.global_slots)
         or (rigid and fit_dist and constraint.dist_mode == "global")
     )
+
+    # Fused Pallas LM kernel (SURVEY.md §7 M6): whole solve in VMEM.
+    # 'auto' uses it on TPU for unconstrained, non-global buckets; 'xla'
+    # forces the lax.while_loop path; 'pallas' forces the kernel (interpret
+    # mode off-TPU, for tests).
+    from .ops.pallas_lm import pallas_available
+
+    if lm_backend == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and pallas_available(model, layout, use_global, constraint)
+        )
+    elif lm_backend == "pallas":
+        if not pallas_available(model, layout, use_global, constraint):
+            raise ValueError(
+                "lm_backend='pallas' unsupported for this configuration "
+                "(global-tied slots or constraints)"
+            )
+        use_pallas = True
+    elif lm_backend == "xla":
+        use_pallas = False
+    else:
+        raise ValueError(f"Unknown lm_backend {lm_backend!r}")
     if use_global:
         gslots = np.zeros(Q + fit_dist + V, dtype=bool) if rigid else \
             np.zeros(V, dtype=bool)
@@ -249,6 +273,14 @@ def _bucket_solver(
                         hi_np[s] = float(frame_shape[d] - 1)
         lo_b, hi_b = jnp.asarray(lo_np), jnp.asarray(hi_np)
 
+        if use_pallas:
+            from .ops.pallas_lm import make_pallas_lm
+
+            pallas_solve = make_pallas_lm(
+                model, layout, window_shape, lo_np, hi_np,
+                max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
+            )
+
         def gather(vect, params_ref):
             pos = positions_of(vect, params_ref)
             origin = origins_for(pos, window_shape, frame_shape)
@@ -269,6 +301,10 @@ def _bucket_solver(
                     residual, residual_jac, vect, tuple(gslots), args,
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
                     lower=lo_b, upper=hi_b, valid=need,
+                )
+            elif use_pallas:
+                res = pallas_solve(
+                    vect, params0, pixels, mask, origin, norm, need
                 )
             else:
                 res = lm_solve(
@@ -317,7 +353,25 @@ def _bucket_solver(
             ) * sigma2[:, None]
             std_vect = jnp.sqrt(var)
             if rigid:
-                std_params = jnp.full(params.shape, jnp.nan)
+                # Delta method: propagate the pose covariance through the
+                # pose→positions map (G = ∂pos/∂vect), so constrained fits
+                # report per-coordinate position stderr like the reference's
+                # SLSQP covariance would.
+                G = jax.jacfwd(
+                    lambda v: positions_of(v, params0)
+                )(vect)                       # [B, n, D, B, Vc]
+                G = jnp.einsum("bndbv->bndv", G)
+                var_pos = jnp.einsum(
+                    "bndu,buv,bndv->bnd", G, cov, G,
+                    precision=jax.lax.Precision.HIGHEST,
+                ) * sigma2[:, None, None]
+                std_pos = jnp.sqrt(jnp.maximum(var_pos, 0.0))
+                # non-pose slots keep the direct covariance mapping
+                std_params = layout.vect_to_params(
+                    std_vect[:, Q + fit_dist:],
+                    jnp.full(params.shape, jnp.nan),
+                )
+                std_params = std_params.at[..., pos_idx].set(std_pos)
             else:
                 std_params = layout.vect_to_params(
                     std_vect, jnp.full(params.shape, jnp.nan)
@@ -376,6 +430,7 @@ def refine_leastsq(
     ftol: float = 1.49e-8,
     xtol: float = 1.49e-8,
     backend_find: str = "host",
+    lm_backend: str = "auto",
 ) -> pd.DataFrame:
     """Simultaneously refine overlapping features cluster-by-cluster.
 
@@ -522,7 +577,7 @@ def refine_leastsq(
                 model, ndim, isotropic, n, param_mode_key, wshape,
                 radius, bounds_key, con, residual_factor,
                 max_iter, max_shift, lm_max_iter, ftol, xtol,
-                compute_error,
+                compute_error, lm_backend,
             )
             if con is not None and con.kind == "rigid":
                 pose0 = positions_to_pose(

@@ -189,3 +189,29 @@ def test_constraint_wrong_ndim_raises():
             diameter=5,
             constraints=dimer(3.0, ndim=3),
         )
+
+
+def test_constrained_compute_error():
+    """compute_error with a rigid constraint: position stds come from the
+    delta method through the pose map — finite, positive, right order."""
+    img = np.zeros((64, 64))
+    true = artificial.draw_cluster(
+        img, (32, 32), size=3.0, separation=5.0, n=2, signal=200.0,
+        angle=0.8,
+    )
+    img += np.random.default_rng(8).normal(0, 2.0, img.shape)
+    rng = np.random.default_rng(9)
+    f = pd.DataFrame(true + rng.uniform(-0.3, 0.3, true.shape),
+                     columns=["y", "x"])
+    f["frame"] = 0
+    out = ct.refine_leastsq(
+        f, img, diameter=9, separation=5.5,
+        constraints=dimer(5.0, ndim=2), param_val={"size": 3.0},
+        compute_error=True,
+    )
+    assert "y_std" in out.columns
+    assert np.isfinite(out["y_std"]).all()
+    assert (out["y_std"] > 0).all()
+    assert (out["y_std"] < 0.3).all()
+    # signal is an unconstrained slot: still mapped directly
+    assert np.isfinite(out["signal_std"]).all()

@@ -1,0 +1,138 @@
+"""Pallas fused-LM kernel parity vs the XLA lm_solve path.
+
+Runs the kernel in interpreter mode on CPU (conftest forces
+JAX_PLATFORMS=cpu) with numerics that must match ops/lm.py::lm_solve
+bit-for-bit — same damping schedule, acceptance rule, convergence tests.
+Small sizes/iteration caps keep interpreter mode fast.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clustertracking_tpu.models.packing import build_layout
+from clustertracking_tpu.models.registry import get_model
+from clustertracking_tpu.ops.gather import origins_for, radius_mask
+from clustertracking_tpu.ops.lm import lm_solve
+from clustertracking_tpu.ops.pallas_lm import make_pallas_lm, pallas_available
+from clustertracking_tpu.ops.residual import make_model_fns
+
+WINDOW = (9, 9)
+MAX_IT = 6
+
+
+def _problem(model_name, n, B=4, param_mode=None, seed=0):
+    import clustertracking_tpu.artificial as artificial
+
+    model = get_model(model_name)
+    layout = build_layout(model, 2, True, n, param_mode or {})
+    fns = make_model_fns(model, layout, WINDOW)
+    rng = np.random.default_rng(seed)
+    P = layout.n_params
+    size = 64
+    frames = np.zeros((B, size, size), np.float32)
+    params0 = np.zeros((B, n, P), np.float32)
+    for b in range(B):
+        center = np.array([32.0, 32.0]) + rng.uniform(-1, 1, 2)
+        true = artificial.draw_cluster(
+            frames[b], center, size=1.8, separation=4.0, n=n,
+            signal=100.0, angle=rng.uniform(0, np.pi),
+            feat_func=model_name if model_name in ("gauss",) else "gauss",
+        )
+        params0[b, :, 1] = 100.0
+        params0[b, :, 2:4] = true + rng.uniform(-0.2, 0.2, true.shape)
+        params0[b, :, 4] = 1.8
+        for j, name in enumerate(model.extra_params):
+            params0[b, :, 5 + j] = model.default[name]
+    fidx = np.arange(B, dtype=np.int32)
+    valid = np.ones(B, bool)
+    return model, layout, fns, map(jnp.asarray, (frames, fidx, params0)), \
+        jnp.asarray(valid)
+
+
+def _solve_both(model, layout, fns, frames, fidx, params0, valid,
+                radius=(3.0, 3.0)):
+    pos0 = params0[..., list(layout.pos_param_idx)]
+    frame_shape = frames.shape[1:]
+    origin = origins_for(pos0, WINDOW, frame_shape)
+
+    def gather_one(fi, org):
+        win = jax.lax.dynamic_slice(
+            frames, (fi, org[0], org[1]), (1,) + WINDOW
+        )
+        return win.reshape(-1)
+
+    pixels = jax.vmap(gather_one)(fidx, origin)
+    mask = radius_mask(pos0, origin, WINDOW, radius)
+    norm = jnp.maximum(
+        jnp.max(jnp.abs(params0[..., layout.signal_param_idx]), axis=1),
+        1e-6,
+    )
+    vect0 = layout.vect_from_params(params0)
+    V = layout.n_slots
+    lo = np.full(V, -np.inf, np.float32)
+    hi = np.full(V, np.inf, np.float32)
+    for d, p in enumerate(layout.pos_param_idx):
+        for s in layout.slot_idx[:, p]:
+            if s >= 0:
+                lo[s] = 0.0
+                hi[s] = float(frame_shape[d] - 1)
+
+    args = (params0, pixels, mask, origin, norm)
+    res_xla = lm_solve(
+        fns.residual, fns.residual_jac, vect0, args, max_iter=MAX_IT,
+        lower=jnp.asarray(lo), upper=jnp.asarray(hi), valid=valid,
+    )
+    psolve = make_pallas_lm(
+        model, layout, WINDOW, lo, hi, max_iter=MAX_IT, interpret=True
+    )
+    res_pal = psolve(vect0, params0, pixels, mask, origin, norm, valid)
+    return res_xla, res_pal
+
+
+@pytest.mark.parametrize(
+    "model_name,n,param_mode",
+    [
+        ("gauss", 1, None),
+        ("gauss", 2, None),
+        ("gauss", 2, {"size": "var", "background": "cluster"}),
+        ("ring", 1, {"thickness": "cluster"}),
+    ],
+)
+def test_pallas_matches_xla(model_name, n, param_mode):
+    model, layout, fns, arrs, valid = _problem(model_name, n,
+                                               param_mode=param_mode)
+    frames, fidx, params0 = arrs
+    res_xla, res_pal = _solve_both(
+        model, layout, fns, frames, fidx, params0, valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_pal.x), np.asarray(res_xla.x), rtol=0, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_pal.n_iter), np.asarray(res_xla.n_iter)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_pal.converged), np.asarray(res_xla.converged)
+    )
+
+
+def test_pallas_invalid_lanes_frozen():
+    model, layout, fns, arrs, _ = _problem("gauss", 2)
+    frames, fidx, params0 = arrs
+    valid = jnp.asarray(np.array([True, False, True, False]))
+    res_xla, res_pal = _solve_both(
+        model, layout, fns, frames, fidx, params0, valid
+    )
+    x0 = np.asarray(layout.vect_from_params(params0))
+    x_p = np.asarray(res_pal.x)
+    # invalid lanes keep their (clipped) initial vector
+    np.testing.assert_allclose(x_p[1], x0[1], atol=1e-6)
+    np.testing.assert_allclose(x_p[3], x0[3], atol=1e-6)
+
+
+def test_pallas_available_gates():
+    model = get_model("gauss")
+    layout = build_layout(model, 2, True, 2, {})
+    assert pallas_available(model, layout, False, None)
+    assert not pallas_available(model, layout, True, None)
