@@ -47,13 +47,32 @@ def main():
         f"benchmark fits are bad: mean rms {rms.mean()}"
     )
 
-    reps = 5
+    # Honest timing on the axon tunnel: repeated dispatch of IDENTICAL
+    # inputs can be short-circuited by the runtime, so every rep gets its
+    # own perturbed initial-guess batch (pre-staged on device), all reps
+    # are queued back-to-back, and the clock stops only after every
+    # output is materialized.
+    reps = 6
+    rng = np.random.default_rng(1)
+    p_reps = [
+        args[2] + jnp.asarray(
+            rng.uniform(-0.05, 0.05, params0.shape).astype(np.float32)
+        )
+        for _ in range(reps)
+    ]
+    jax.block_until_ready(p_reps)
+    outs = [solver(args[0], args[1], p_reps[0], args[3], args[4])]
+    jax.block_until_ready(outs)  # extra warmup on the varied-input path
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = solver(*args)
-    jax.block_until_ready(out)
+    outs = [
+        solver(args[0], args[1], p, args[3], args[4]) for p in p_reps
+    ]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     tpu_rate = B * reps / dt
+    for o in outs:
+        r = np.asarray(o[1])
+        assert np.isfinite(r).all() and r.mean() < 0.1
 
     # serial scipy baseline (reference-equivalent path) on a sample
     from clustertracking_tpu.hostref import fit_cluster_scipy
