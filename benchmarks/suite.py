@@ -1,0 +1,323 @@
+#!/usr/bin/env python
+"""The five BASELINE.md benchmark configurations as a runnable suite.
+
+Each config prints one JSON line.  Run all (slow — every config pays an
+axon/XLA compile of minutes) or pick one::
+
+    python benchmarks/suite.py            # all five
+    python benchmarks/suite.py 3          # config 3 only
+    python benchmarks/suite.py 1 4
+
+Configs (BASELINE.md / BASELINE.json):
+  1. single 2-Gaussian dimer, unconstrained 2D — TPU batch vs serial scipy
+  2. 2D video, 100 frames × ~100 features: locate+find+fit+link pipeline
+  3. constrained dimer/trimer fixed-distance rigid-body LM
+  4. 3D anisotropic z-stack clusters, size-bucketed batched fits
+  5. dense video, 10k overlapping features/frame, full on-device pipeline
+
+Timing rule (axon tunnel): never time repeated dispatch of identical
+inputs — every rep gets its own perturbed input batch, reps are queued
+back-to-back, and the clock stops after all outputs materialize.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root
+
+
+def _emit(rec):
+    print(json.dumps(rec), flush=True)
+
+
+def _timed_reps(solver, args_list):
+    """Queue all reps (distinct inputs), block on all outputs."""
+    import jax
+
+    out = solver(*args_list[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [solver(*a) for a in args_list]
+    jax.block_until_ready(outs)
+    return time.perf_counter() - t0, outs
+
+
+def _perturbed(params0, reps, scale=0.05, seed=1):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    return [
+        jnp.asarray(
+            params0
+            + rng.uniform(-scale, scale, params0.shape).astype(np.float32)
+        )
+        for _ in range(reps)
+    ]
+
+
+def config1(B=8192, reps=6):
+    """Unconstrained 2D dimers: TPU batched rate vs serial scipy."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from clustertracking_tpu.hostref import fit_cluster_scipy
+    from clustertracking_tpu.models.registry import get_model
+    from clustertracking_tpu.refine import _bucket_solver
+
+    window = (13, 13)
+    solver, layout = _bucket_solver(
+        get_model("gauss"), 2, True, 2, (), window, (4.5, 4.5), (),
+        None, 1e5, 10, 1.0, 60, 1.49e-8, 1.49e-8, False,
+    )
+    frames, fidx, params0, pose0, valid = _example_batch(
+        B=B, frame_size=256, grid_pitch=16
+    )
+    base = (jnp.asarray(frames), jnp.asarray(fidx), None,
+            jnp.asarray(pose0), jnp.asarray(valid))
+    args_list = [
+        (base[0], base[1], p, base[3], base[4])
+        for p in _perturbed(params0, reps)
+    ]
+    dt, outs = _timed_reps(solver, args_list)
+    rms = np.asarray(outs[-1][1])
+    assert np.isfinite(rms).all() and rms.mean() < 0.1
+
+    n_base = 40
+    t0 = time.perf_counter()
+    for b in range(n_base):
+        fit_cluster_scipy(
+            frames[fidx[b]], params0[b].astype(float),
+            layout.slot_idx, window, (4.5, 4.5), True, norm=150.0,
+        )
+    scipy_rate = n_base / (time.perf_counter() - t0)
+    rate = B * reps / dt
+    _emit({
+        "config": 1, "metric": "dimer_lm_solves_per_sec_per_chip",
+        "value": round(rate, 1), "unit": "clusters/s",
+        "scipy_baseline": round(scipy_rate, 1),
+        "vs_baseline": round(rate / scipy_rate, 1),
+    })
+
+
+def _video(n_frames, features_per_frame, shape, separation_px, seed=0):
+    """Brownian cluster video: returns (reader, truth DataFrame)."""
+    import pandas as pd
+
+    from clustertracking_tpu.artificial import (
+        CoordinateReader,
+        gen_random_locations,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_clusters = features_per_frame // 2  # dimers
+    centers = gen_random_locations(
+        tuple(s - 24 for s in shape), n_clusters, margin=0, rng=rng
+    ) + 12.0
+    angles = rng.uniform(0, np.pi, n_clusters)
+    rows = []
+    for t in range(n_frames):
+        centers = centers + rng.normal(0, 0.5, centers.shape)
+        centers = np.clip(centers, 10, np.asarray(shape) - 10.0)
+        angles = angles + rng.normal(0, 0.1, n_clusters)
+        # separation 5 px at sigma 1.6: dimer peaks stay resolvable
+        # (d/sigma ~ 3; at d/sigma <= 2 the two maxima merge into one blob
+        # and candidate location can only seed one feature per dimer)
+        offs = (separation_px / 2.0) * np.stack(
+            [np.sin(angles), np.cos(angles)], axis=-1
+        )
+        for k in range(n_clusters):
+            for sgn in (+1, -1):
+                p = centers[k] + sgn * offs[k]
+                rows.append({"frame": t, "y": p[0], "x": p[1],
+                             "signal": 150.0})
+    f = pd.DataFrame(rows)
+    reader = CoordinateReader(f, shape, size=1.6, noise_level=2.0)
+    return reader, f
+
+
+def config2(n_frames=100, reps=1):
+    """2D video 100 frames x ~100 features: full pipeline rate."""
+    import clustertracking_tpu as ct
+
+    reader, truth = _video(n_frames, 100, (512, 512), 5.0)
+    with ct.diagnostics.collect() as stats:
+        t0 = time.perf_counter()
+        out = ct.track(
+            reader, diameter=9, separation=5, search_range=3.0,
+            link_backend="device",
+        )
+        dt = time.perf_counter() - t0
+    n_traj = out["particle"].nunique()
+    _emit({
+        "config": 2, "metric": "pipeline_frames_per_sec_100feat",
+        "value": round(n_frames / dt, 2), "unit": "frames/s",
+        "features_per_frame": int(len(out) / n_frames),
+        "n_trajectories": int(n_traj),
+        "fit_clusters_per_sec": round(
+            stats.summary().get("clusters_per_sec", 0), 1
+        ),
+    })
+
+
+def config3(B=4096, reps=6):
+    """Rigid fixed-distance dimers + trimers (constrained LM)."""
+    import jax.numpy as jnp
+
+    import clustertracking_tpu as ct
+    from clustertracking_tpu.constraints import positions_to_pose
+    from clustertracking_tpu.models.registry import get_model
+    from clustertracking_tpu.refine import _bucket_solver
+    from clustertracking_tpu.artificial import draw_cluster
+
+    rng = np.random.default_rng(3)
+    results = {}
+    for n, name in ((2, "dimer"), (3, "trimer")):
+        con = ct.dimer(5.0, 2) if n == 2 else ct.trimer(5.0, 2)
+        window = (15, 15) if n == 2 else (17, 17)
+        solver, layout = _bucket_solver(
+            get_model("gauss"), 2, True, n, (), window, (4.5, 4.5), (),
+            con, 1e5, 10, 1.0, 60, 1.49e-8, 1.49e-8, False,
+        )
+        P = layout.n_params
+        pitch = 24
+        per_axis = 256 // pitch
+        per_frame = per_axis ** 2
+        T = -(-B // per_frame)
+        frames = np.zeros((T, 256, 256), np.float32)
+        params0 = np.zeros((B, n, P), np.float32)
+        fidx = np.zeros(B, np.int32)
+        for b in range(B):
+            t = b // per_frame
+            cell = b % per_frame
+            cy = (cell // per_axis) * pitch + pitch / 2
+            cx = (cell % per_axis) * pitch + pitch / 2
+            c = np.array([cy, cx]) + rng.uniform(-1, 1, 2)
+            true = draw_cluster(
+                frames[t], c, size=2.0, separation=5.0, n=n,
+                signal=150.0, angle=rng.uniform(0, np.pi),
+            )
+            params0[b, :, 1] = 150.0
+            params0[b, :, 2:4] = true + rng.uniform(-0.3, 0.3, true.shape)
+            params0[b, :, 4] = 2.0
+            fidx[b] = t
+        pose0 = positions_to_pose(params0[:, :, 2:4], con).astype(
+            np.float32
+        )
+        valid = np.ones(B, bool)
+        base = (jnp.asarray(frames), jnp.asarray(fidx), None,
+                jnp.asarray(pose0), jnp.asarray(valid))
+        args_list = [
+            (base[0], base[1], p, base[3], base[4])
+            for p in _perturbed(params0, reps)
+        ]
+        dt, outs = _timed_reps(solver, args_list)
+        rms = np.asarray(outs[-1][1])
+        assert np.isfinite(rms).all() and rms.mean() < 0.1, rms.mean()
+        results[name] = round(B * reps / dt, 1)
+    _emit({
+        "config": 3, "metric": "constrained_lm_solves_per_sec_per_chip",
+        "value": results["dimer"], "unit": "clusters/s",
+        "dimer": results["dimer"], "trimer": results["trimer"],
+    })
+
+
+def config4(B=2048, reps=6):
+    """3D anisotropic z-stack dimers, size-bucketed."""
+    import jax.numpy as jnp
+
+    from clustertracking_tpu.artificial import draw_cluster
+    from clustertracking_tpu.models.registry import get_model
+    from clustertracking_tpu.refine import _bucket_solver
+
+    rng = np.random.default_rng(4)
+    n = 2
+    window = (9, 13, 13)
+    # anisotropic: size_z, size_y, size_x fitted per feature
+    solver, layout = _bucket_solver(
+        get_model("gauss"), 3, False, n,
+        (("size_x", "var"), ("size_y", "var"), ("size_z", "var")),
+        window, (3.0, 4.5, 4.5), (),
+        None, 1e5, 10, 1.0, 60, 1.49e-8, 1.49e-8, False,
+    )
+    P = layout.n_params
+    pitch = (16, 24, 24)
+    shape = (64, 192, 192)
+    per = tuple(s // p for s, p in zip(shape, pitch))
+    per_frame = int(np.prod(per))
+    T = -(-B // per_frame)
+    frames = np.zeros((T,) + shape, np.float32)
+    params0 = np.zeros((B, n, P), np.float32)
+    fidx = np.zeros(B, np.int32)
+    sizes = (1.5, 2.2, 2.2)
+    for b in range(B):
+        t = b // per_frame
+        cell = b % per_frame
+        iz = cell // (per[1] * per[2])
+        iy = (cell // per[2]) % per[1]
+        ix = cell % per[2]
+        c = (np.array([iz * pitch[0] + 8, iy * pitch[1] + 12,
+                       ix * pitch[2] + 12], float)
+             + rng.uniform(-1, 1, 3))
+        true = draw_cluster(
+            frames[t], c, size=sizes, separation=4.5, n=n, signal=150.0,
+            angle=rng.uniform(0, np.pi),
+        )
+        params0[b, :, 1] = 150.0
+        params0[b, :, 2:5] = true + rng.uniform(-0.25, 0.25, true.shape)
+        params0[b, :, 5:8] = sizes
+        fidx[b] = t
+    pose0 = np.zeros((B, 0), np.float32)
+    valid = np.ones(B, bool)
+    base = (jnp.asarray(frames), jnp.asarray(fidx), None,
+            jnp.asarray(pose0), jnp.asarray(valid))
+    args_list = [
+        (base[0], base[1], p, base[3], base[4])
+        for p in _perturbed(params0, reps, scale=0.03)
+    ]
+    dt, outs = _timed_reps(solver, args_list)
+    rms = np.asarray(outs[-1][1])
+    assert np.isfinite(rms).all() and rms.mean() < 0.2, rms.mean()
+    _emit({
+        "config": 4, "metric": "aniso3d_lm_solves_per_sec_per_chip",
+        "value": round(B * reps / dt, 1), "unit": "clusters/s",
+        "voxels_per_window": int(np.prod(window)),
+    })
+
+
+def config5(n_frames=4, features_per_frame=10000):
+    """Dense colloid: 10k overlapping features/frame, full pipeline."""
+    import clustertracking_tpu as ct
+
+    reader, truth = _video(
+        n_frames, features_per_frame, (1024, 1024), 5.0, seed=5
+    )
+    with ct.diagnostics.collect() as stats:
+        t0 = time.perf_counter()
+        out = ct.track(
+            reader, diameter=9, separation=5, search_range=3.0,
+            link_backend="device", max_features=16384,
+        )
+        dt = time.perf_counter() - t0
+    s = stats.summary()
+    _emit({
+        "config": 5, "metric": "dense_pipeline_frames_per_sec_10kfeat",
+        "value": round(n_frames / dt, 3), "unit": "frames/s",
+        "features_tracked_per_frame": int(len(out) / n_frames),
+        "fit_clusters_per_sec": round(s.get("clusters_per_sec", 0), 1),
+        "n_trajectories": int(out["particle"].nunique()),
+    })
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main():
+    picks = [int(a) for a in sys.argv[1:]] or sorted(CONFIGS)
+    for k in picks:
+        CONFIGS[k]()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from .constraints import (  # noqa: E402
     trimer,
 )
 from .link import link, link_df  # noqa: E402
-from . import artificial, motion  # noqa: E402
+from . import artificial, diagnostics, motion  # noqa: E402
 from .pipeline import locate, track  # noqa: E402
 
 __all__ = [
@@ -42,6 +42,7 @@ __all__ = [
     "locate",
     "track",
     "artificial",
+    "diagnostics",
     "motion",
     "models",
     "ops",

@@ -1,0 +1,144 @@
+"""Observability: profiler trace annotations + per-batch fit statistics.
+
+The reference has no tracing, metrics, or logging beyond failed-fit
+semantics (SURVEY.md §5 "Tracing / profiling: absent").  This module is the
+TPU-native equivalent called for there: `jax.profiler` annotations around
+the pipeline stages and first-class per-dispatch solver statistics
+(clusters/sec is the north-star metric, so it must be measurable in
+production, not only in benchmarks).
+
+Usage::
+
+    import clustertracking_tpu as ct
+
+    with ct.diagnostics.collect() as stats:
+        out = ct.refine_leastsq(f, reader, diameter=9)
+    print(stats.summary())          # dict: clusters, rejects, iters, rate
+    for s in stats.batches:         # per-dispatch records
+        print(s)
+
+    # profiler trace (view in TensorBoard / xprof):
+    with ct.diagnostics.trace_to("/tmp/trace"):
+        ct.refine_leastsq(...)
+
+Stage annotations (`stage("gather")`) are no-ops unless a profiler trace is
+active, so they are always on in the library code.
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import logging
+import threading
+import time
+from typing import List, Optional
+
+logger = logging.getLogger("clustertracking_tpu")
+
+__all__ = ["BatchRecord", "StatsCollector", "collect", "stage", "trace_to"]
+
+
+@dataclasses.dataclass
+class BatchRecord:
+    """One solver dispatch (one bucket of clusters, one frame chunk)."""
+
+    cluster_size: int
+    n_clusters: int          # valid lanes
+    n_lanes: int             # padded batch
+    n_converged: int
+    n_rejected: int          # rms > max_rms_dev (originals kept)
+    mean_lm_iters: float
+    max_lm_iters: int
+    mean_rms: float
+    wall_s: float            # dispatch wall-clock (incl. host sync)
+    backend: str             # 'pallas' | 'xla' | 'xla-global' | 'scipy'
+
+    @property
+    def clusters_per_sec(self) -> float:
+        return self.n_clusters / self.wall_s if self.wall_s > 0 else 0.0
+
+
+class StatsCollector:
+    """Accumulates BatchRecords from refine_leastsq dispatches."""
+
+    def __init__(self):
+        self.batches: List[BatchRecord] = []
+
+    def add(self, rec: BatchRecord) -> None:
+        self.batches.append(rec)
+        logger.debug(
+            "fit batch: n=%d B=%d/%d conv=%d rej=%d iters=%.1f "
+            "rms=%.4g %.1f clusters/s [%s]",
+            rec.cluster_size, rec.n_clusters, rec.n_lanes,
+            rec.n_converged, rec.n_rejected, rec.mean_lm_iters,
+            rec.mean_rms, rec.clusters_per_sec, rec.backend,
+        )
+
+    def summary(self) -> dict:
+        if not self.batches:
+            return {"n_clusters": 0}
+        n = sum(b.n_clusters for b in self.batches)
+        wall = sum(b.wall_s for b in self.batches)
+        return {
+            "n_batches": len(self.batches),
+            "n_clusters": n,
+            "n_converged": sum(b.n_converged for b in self.batches),
+            "n_rejected": sum(b.n_rejected for b in self.batches),
+            "lane_occupancy": n / max(
+                sum(b.n_lanes for b in self.batches), 1
+            ),
+            "mean_lm_iters": sum(
+                b.mean_lm_iters * b.n_clusters for b in self.batches
+            ) / max(n, 1),
+            "wall_s": wall,
+            "clusters_per_sec": n / wall if wall > 0 else 0.0,
+        }
+
+
+_local = threading.local()
+
+
+def _active_collector() -> Optional[StatsCollector]:
+    return getattr(_local, "collector", None)
+
+
+@contextlib.contextmanager
+def collect():
+    """Context manager: collect per-batch fit statistics on this thread."""
+    prev = _active_collector()
+    _local.collector = StatsCollector()
+    try:
+        yield _local.collector
+    finally:
+        _local.collector = prev
+
+
+def record_batch(**kwargs) -> None:
+    """Internal: called by refine_leastsq after each solver dispatch."""
+    c = _active_collector()
+    rec = BatchRecord(**kwargs)
+    if c is not None:
+        c.add(rec)
+    else:
+        logger.debug("fit batch (uncollected): %s", rec)
+
+
+@contextlib.contextmanager
+def stage(name: str):
+    """Profiler annotation around a pipeline stage (no-op w/o a trace)."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+@contextlib.contextmanager
+def trace_to(log_dir: str):
+    """Capture a jax.profiler trace of the enclosed block."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

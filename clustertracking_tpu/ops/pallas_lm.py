@@ -46,15 +46,47 @@ from .lm import LMResult
 __all__ = ["make_pallas_lm", "pallas_available"]
 
 
+# VMEM planning.  The lane axis of every vreg pads to 128, so shrinking
+# the lane tile below 128 does NOT shrink the working set — the knob that
+# does is the PIXEL axis: H/g are accumulated over pixel chunks so full
+# [Npix, 128] Jacobian rows never materialize.  Resident per tile: the
+# pixel/mask inputs ([Npix, 128] each) + one chunk's temporaries.
+_VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the 16MB/core limit
+_CHUNK_BUDGET = 6 * 1024 * 1024  # chunk temporaries' share
+
+
+def _pick_chunk(n_slots: int, npix: int) -> int:
+    """Pixel-chunk length (multiple of 8) whose temporaries fit VMEM.
+
+    Per chunk ≈ (V Jacobian rows + ~10 geometry/profile temporaries) ×
+    [chunk, 128] f32; plus 2 resident [Npix, 128] inputs.
+    """
+    resident = 2 * npix * 128 * 4
+    if resident > _VMEM_BUDGET - 512 * 1024:
+        return 0
+    per_row = (n_slots + 10) * 128 * 4
+    chunk = min(int(_CHUNK_BUDGET - 0) // per_row, npix)
+    chunk = (chunk // 8) * 8
+    return max(chunk, 0)
+
+
 def pallas_available(model: ModelSpec, layout: ParamLayout,
-                     use_global: bool, constraint) -> bool:
+                     use_global: bool, constraint,
+                     window_shape=None) -> bool:
     """Whether the fused kernel covers this bucket configuration.
 
     Not covered (falls back to ops/lm.py): cross-lane-tied 'global' slots
     (need a cross-tile reduction), rigid/generic constraints (need jacfwd
-    through the pose map), and zero-slot layouts.
+    through the pose map), zero-slot layouts, and windows whose resident
+    pixel inputs alone exceed VMEM (~8500 pixels).
     """
-    return (not use_global) and constraint is None and layout.n_slots > 0
+    if use_global or constraint is not None or layout.n_slots == 0:
+        return False
+    if window_shape is not None:
+        npix = int(np.prod(window_shape))
+        if _pick_chunk(layout.n_slots, npix) == 0:
+            return False
+    return True
 
 
 def _row(a, i):
@@ -76,8 +108,9 @@ def make_pallas_lm(
     lam_up: float = 4.0,
     lam_down: float = 0.25,
     lam_max: float = 1e10,
-    tile_b: int = 128,
+    tile_b: Optional[int] = None,
     interpret: Optional[bool] = None,
+    chunk_len: Optional[int] = None,
 ):
     """Build the fused LM solver for one bucket configuration.
 
@@ -98,6 +131,23 @@ def make_pallas_lm(
     V = layout.n_slots
     slot_idx = layout.slot_idx  # [n, P] int, -1 = const
     Npix = int(np.prod(window_shape))
+    if tile_b is None:
+        tile_b = 128
+    if chunk_len is None:
+        chunk_len = _pick_chunk(layout.n_slots, Npix)
+    if chunk_len == 0:
+        raise ValueError(
+            f"window {window_shape} x {layout.n_slots} slots exceeds "
+            "VMEM; use the XLA path"
+        )
+    # Multi-chunk windows iterate a fori_loop so each chunk's temporaries
+    # are loop-local (an unrolled chunk sweep makes Mosaic's stack
+    # allocation grow with the number of chunks — measured OOM at 11
+    # chunks).  The pixel axis is padded to a whole number of equal chunks;
+    # the padded tail carries mask=0 so it contributes nothing.
+    n_chunks = -(-Npix // chunk_len)
+    CL = chunk_len if n_chunks > 1 else Npix
+    Npix_pad = n_chunks * CL
     n_extra = len(model.extra_params)
     extra_p = tuple(layout.param_names.index(nm) for nm in model.extra_params)
     pos_p = layout.pos_param_idx
@@ -118,22 +168,31 @@ def make_pallas_lm(
 
     def kernel(vect_ref, cp_ref, pix_ref, mask_ref, org_ref, aux_ref,
                xout_ref, stats_ref):
-        pix = pix_ref[:]                      # [Npix, TB]
-        mask = mask_ref[:]                    # [Npix, TB]
+        from jax.experimental import pallas as pl
+
         norm = _row(aux_ref, 0)               # [1, TB]
         valid = _row(aux_ref, 1) > 0.5        # [1, TB] bool
-        w = mask / norm                       # [Npix, TB]
+        inv_norm = 1.0 / norm                 # [1, TB]
         org = org_ref[:]                      # [D, TB] f32
         cp = cp_ref[:]                        # [n*P, TB]
-        # Window pixel-offset columns [Npix, 1], generated in-register from
-        # iota (pallas kernels cannot capture array constants).
-        pix_ids = jax.lax.broadcasted_iota(jnp.int32, (Npix, 1), 0)
-        off = []
-        stride = Npix
-        for d in range(D):
-            stride //= window_shape[d]
-            off.append(((pix_ids // stride) % window_shape[d])
-                       .astype(jnp.float32))
+
+        def read_chunk(c0):
+            """Pixel slice [c0, c0+CL) of the inputs + offset columns.
+
+            Offsets are generated in-register from iota (pallas kernels
+            cannot capture array constants); padded-tail pixel ids produce
+            harmless garbage offsets — their mask is 0.
+            """
+            pixc = pix_ref[pl.ds(c0, CL), :]
+            maskc = mask_ref[pl.ds(c0, CL), :]
+            ids = jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0) + c0
+            off = []
+            stride = Npix
+            for d in range(D):
+                stride //= window_shape[d]
+                off.append(((ids // stride) % window_shape[d])
+                           .astype(jnp.float32))
+            return pixc, maskc, off
 
         def prow(x, i, p):
             """Parameter (feature i, param p) as a [1, TB] row."""
@@ -153,9 +212,13 @@ def make_pallas_lm(
                 rows.append(r)
             return jnp.concatenate(rows, axis=0)
 
-        def model_eval(x, with_jac):
-            """residual r [Npix, TB]; if with_jac also J rows (list of V)."""
-            img = jnp.broadcast_to(prow(x, 0, bg_p), pix.shape)
+        def chunk_eval(x, pixc, maskc, off, with_jac):
+            """Residual (and J rows) for one pixel chunk.
+
+            Chunking bounds the VMEM working set: only [CL, TB] fields are
+            live, so any window size fits (see _pick_chunk)."""
+            wc = maskc * inv_norm                    # [CL, TB]
+            img = jnp.broadcast_to(prow(x, 0, bg_p), wc.shape)
             Jrows = [None] * V if with_jac else None
 
             def add(v, contrib):
@@ -167,7 +230,7 @@ def make_pallas_lm(
             # background: one shared slot, dI/dbg = 1 (added once, not per
             # feature — the model has a single background per cluster)
             if with_jac and slot_idx[0, bg_p] >= 0:
-                add(int(slot_idx[0, bg_p]), w)
+                add(int(slot_idx[0, bg_p]), wc)
 
             for i in range(n):
                 sig = prow(x, i, sig_p)
@@ -178,7 +241,7 @@ def make_pallas_lm(
                 for d in range(D):
                     s_d = sizes[0] if layout.isotropic else sizes[d]
                     rel = prow(x, i, pos_p[d]) - _row(org, d)
-                    dx = (off[d] - rel) / s_d          # [Npix, TB]
+                    dx = (off[d] - rel) / s_d               # [CL, TB]
                     dxs.append(dx)
                     r2 = dx * dx if r2 is None else r2 + dx * dx
                 f = fun(r2, *ex) if n_extra else fun(r2)
@@ -187,19 +250,19 @@ def make_pallas_lm(
                     continue
                 sig_df = sig * (dfun(r2, *ex) if n_extra else dfun(r2))
                 if slot_idx[i, sig_p] >= 0:
-                    add(int(slot_idx[i, sig_p]), f * w)
+                    add(int(slot_idx[i, sig_p]), f * wc)
                 for d in range(D):
                     if slot_idx[i, pos_p[d]] >= 0:
                         s_d = sizes[0] if layout.isotropic else sizes[d]
                         add(
                             int(slot_idx[i, pos_p[d]]),
-                            sig_df * (-2.0) * dxs[d] / s_d * w,
+                            sig_df * (-2.0) * dxs[d] / s_d * wc,
                         )
                 if layout.isotropic:
                     if slot_idx[i, size_p[0]] >= 0:
                         add(
                             int(slot_idx[i, size_p[0]]),
-                            sig_df * (-2.0) * r2 / sizes[0] * w,
+                            sig_df * (-2.0) * r2 / sizes[0] * wc,
                         )
                 else:
                     for d in range(D):
@@ -207,19 +270,76 @@ def make_pallas_lm(
                             add(
                                 int(slot_idx[i, size_p[d]]),
                                 sig_df * (-2.0) * dxs[d] * dxs[d]
-                                / sizes[d] * w,
+                                / sizes[d] * wc,
                             )
                 for k, p in enumerate(extra_p):
                     if slot_idx[i, p] >= 0:
                         add(
                             int(slot_idx[i, p]),
-                            sig * dfun_dex[k](r2, *ex) * w,
+                            sig * dfun_dex[k](r2, *ex) * wc,
                         )
-            r = (img - pix) * w
+            r = (img - pixc) * wc
             return (r, Jrows) if with_jac else r
 
-        def cost_of(r):
-            return jnp.sum(r * r, axis=0, keepdims=True)  # [1, TB]
+        def _rsum(a):
+            return jnp.sum(a, axis=0, keepdims=True)  # [CL, TB] → [1, TB]
+
+        # Packed accumulator layout for the chunk fori_loop: row 0 = cost,
+        # rows 1..V = gradient, then the V(V+1)/2 upper-triangle H rows;
+        # padded to a sublane-tile multiple (loop carries must be full
+        # vregs, same Mosaic constraint as the outer while_loop state).
+        tri = {}
+        for u in range(V):
+            for v in range(u, V):
+                tri[(u, v)] = len(tri)
+        NACC = 1 + V + len(tri)
+        NACCp = -(-NACC // 8) * 8
+
+        def _chunk_rows(x, c0, with_jac):
+            """One chunk's contribution as a list of NACC [1, TB] rows."""
+            pixc, maskc, off = read_chunk(c0)
+            if not with_jac:
+                r = chunk_eval(x, pixc, maskc, off, with_jac=False)
+                return [_rsum(r * r)]
+            r, Jrows = chunk_eval(x, pixc, maskc, off, with_jac=True)
+            rows = [_rsum(r * r)]
+            rows += [_rsum(Jrows[v] * r) for v in range(V)]
+            for u in range(V):
+                for v in range(u, V):
+                    rows.append(_rsum(Jrows[u] * Jrows[v]))
+            return rows
+
+        def _accumulate(x, with_jac):
+            n_rows = NACC if with_jac else 1
+            n_pad = (NACCp if with_jac else 8) - n_rows
+            TBk = norm.shape[1]
+
+            def pack(rows):
+                if n_pad > 0:  # 0-row vectors are invalid in Mosaic
+                    rows = rows + [jnp.zeros((n_pad, TBk), jnp.float32)]
+                return jnp.concatenate(rows, axis=0)
+
+            if n_chunks == 1:
+                return pack(_chunk_rows(x, 0, with_jac))
+
+            def body(ci, acc):
+                return acc + pack(_chunk_rows(x, ci * CL, with_jac))
+
+            init = jnp.zeros((n_rows + n_pad, TBk), jnp.float32)
+            return jax.lax.fori_loop(0, n_chunks, body, init)
+
+        def eval_cost(x):
+            return _row(_accumulate(x, with_jac=False), 0)
+
+        def eval_cost_grad_hess(x):
+            acc = _accumulate(x, with_jac=True)
+            cost = _row(acc, 0)
+            g = [_row(acc, 1 + v) for v in range(V)]
+            H = [[None] * V for _ in range(V)]
+            for (u, v), k in tri.items():
+                H[u][v] = _row(acc, 1 + V + k)
+                H[v][u] = H[u][v]  # symmetric (shared row, no copy)
+            return cost, g, H
 
         def damped_solve(H, g, lam):
             """Unrolled row-wise Cholesky of (H + λ·diag(H) + εI)x = -g.
@@ -261,8 +381,8 @@ def make_pallas_lm(
             return jnp.concatenate(xs, axis=0)  # [V, TB]
 
         x0 = clip(vect_ref[:])
-        c0 = cost_of(model_eval(x0, with_jac=False))
-        TB = pix.shape[1]
+        c0 = eval_cost(x0)
+        TB = norm.shape[1]
 
         # Loop state must carry full-sublane-tile vectors (Mosaic cannot
         # yield padded [1, TB] vregs through scf loops): x is padded to a
@@ -294,19 +414,11 @@ def make_pallas_lm(
             active = _row(s, 2) > 0.5
             n_iter = _row(s, 3)
             converged = _row(s, 4) > 0.5
-            r, Jrows = model_eval(x, with_jac=True)
-            g = [jnp.sum(Jrows[v] * r, axis=0, keepdims=True)
-                 for v in range(V)]
-            H = [[None] * V for _ in range(V)]
-            for u in range(V):
-                for v in range(u, V):
-                    H[u][v] = jnp.sum(Jrows[u] * Jrows[v], axis=0,
-                                      keepdims=True)
-                    H[v][u] = H[u][v]  # symmetric (shared row, no copy)
+            _, g, H = eval_cost_grad_hess(x)
             delta = damped_solve(H, g, lam)
             x_trial = clip(x + delta)
             step = x_trial - x
-            c_trial = cost_of(model_eval(x_trial, with_jac=False))
+            c_trial = eval_cost(x_trial)
             better = c_trial < cost
 
             accept = active & better
@@ -382,6 +494,10 @@ def make_pallas_lm(
             [padB(norm), padB(valid, fill=False).astype(norm.dtype)],
             axis=0,
         )                                                     # [2, Bp]
+        if Npix_pad > Npix:  # equal-chunk padding; tail mask = 0
+            zt = jnp.zeros((Npix_pad - Npix, Bpad), jnp.float32)
+            pixT = jnp.concatenate([pixT, zt], axis=0)
+            maskT = jnp.concatenate([maskT, zt], axis=0)
 
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -398,7 +514,7 @@ def make_pallas_lm(
             kernel,
             grid=grid,
             in_specs=[
-                spec(V), spec(n * P), spec(Npix), spec(Npix),
+                spec(V), spec(n * P), spec(Npix_pad), spec(Npix_pad),
                 spec(D), spec(2),
             ],
             out_specs=[spec(V), spec(4)],

@@ -77,6 +77,10 @@ def sharded_fit(
         ftol=1.49e-8,
         xtol=1.49e-8,
         compute_error=False,
+        # The pallas kernel is single-device (it would need a shard_map
+        # wrapper to partition the lane axis); the sharded path uses the
+        # XLA solver, which GSPMD partitions automatically.
+        lm_backend="xla",
     )
     defaults.update(solver_kw)
     solver, layout = _bucket_solver(
@@ -86,6 +90,7 @@ def sharded_fit(
         defaults["residual_factor"], defaults["max_iter"],
         defaults["max_shift"], defaults["lm_max_iter"],
         defaults["ftol"], defaults["xtol"], defaults["compute_error"],
+        defaults["lm_backend"],
     )
     shardings = fit_step_spec(mesh, axis)
 

@@ -45,6 +45,18 @@ def locate(
     separation = validate_tuple(separation, ndim)
     if pos_columns is None:
         pos_columns = default_pos_columns(ndim)
+    if threshold is None:
+        # Noise-robust default: the raw percentile rule (trackpy's
+        # grey_dilation default) sits at the background level on sparse
+        # noisy frames and accepts thousands of noise maxima; floor it at
+        # median + 6 robust sigma (MAD).  Noiseless images (MAD = 0) keep
+        # the exact percentile behavior.
+        med = float(np.median(image))
+        mad = float(np.median(np.abs(image - med)))
+        threshold = max(
+            float(np.percentile(image, percentile)),
+            med + 6.0 * 1.4826 * mad,
+        )
     coords, vals, valid = grey_dilation(
         image.astype(np.float32), separation,
         percentile=percentile, max_features=max_features,

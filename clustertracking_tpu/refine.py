@@ -35,6 +35,7 @@ API parity (reference signature shape, SURVEY.md §2):
 from __future__ import annotations
 
 import math
+import time
 from functools import lru_cache, partial
 from typing import Optional
 
@@ -215,13 +216,16 @@ def _bucket_solver(
     if lm_backend == "auto":
         use_pallas = (
             jax.default_backend() == "tpu"
-            and pallas_available(model, layout, use_global, constraint)
+            and pallas_available(model, layout, use_global, constraint,
+                                 window_shape)
         )
     elif lm_backend == "pallas":
-        if not pallas_available(model, layout, use_global, constraint):
+        if not pallas_available(model, layout, use_global, constraint,
+                                window_shape):
             raise ValueError(
                 "lm_backend='pallas' unsupported for this configuration "
-                "(global-tied slots or constraints)"
+                "(global-tied slots, constraints, or a fit window too "
+                f"large for VMEM: {window_shape})"
             )
         use_pallas = True
     elif lm_backend == "xla":
@@ -522,6 +526,12 @@ def refine_leastsq(
     )
 
     out = f.copy()
+    # refined values are written as float64; coerce any narrower existing
+    # parameter columns (e.g. float32 'signal' from locate()) up front so
+    # pandas doesn't reject the upcast on assignment
+    for name in param_names:
+        if name in out.columns and out[name].dtype != np.float64:
+            out[name] = out[name].astype(np.float64)
     out["cost"] = np.nan
     std_cols = {}
     if compute_error:
@@ -586,14 +596,43 @@ def refine_leastsq(
             else:
                 pose0 = np.zeros((Bpad, 0), dtype=np.float32)
 
-            params_fit, rms, conv, iters, std = solver(
-                jnp.asarray(stack), jnp.asarray(fidx),
-                jnp.asarray(params0), jnp.asarray(pose0),
-                jnp.asarray(valid),
+            from . import diagnostics
+
+            t_dispatch = time.perf_counter()
+            with diagnostics.stage(f"fit_bucket_n{n}"):
+                params_fit, rms, conv, iters, std = solver(
+                    jnp.asarray(stack), jnp.asarray(fidx),
+                    jnp.asarray(params0), jnp.asarray(pose0),
+                    jnp.asarray(valid),
+                )
+                params_fit = np.asarray(params_fit)
+                rms = np.asarray(rms)
+                conv = np.asarray(conv)
+                iters = np.asarray(iters)
+                std = np.asarray(std) if compute_error else None
+            ok_lane = (rms <= max_rms_dev) & np.isfinite(rms) & valid
+            if con is not None:
+                backend_str = "xla-rigid" if con.kind == "rigid" else \
+                    "xla-penalty"
+            elif np.any(layout.global_slots):
+                backend_str = "xla-global"
+            elif jax.default_backend() == "tpu" and lm_backend != "xla":
+                backend_str = "pallas"
+            else:
+                backend_str = "xla"
+            diagnostics.record_batch(
+                cluster_size=n,
+                n_clusters=int(valid.sum()),
+                n_lanes=Bpad,
+                n_converged=int((conv & valid).sum()),
+                n_rejected=int((valid & ~ok_lane).sum()),
+                mean_lm_iters=float(iters[valid].mean()) if valid.any()
+                else 0.0,
+                max_lm_iters=int(iters[valid].max()) if valid.any() else 0,
+                mean_rms=float(rms[valid].mean()) if valid.any() else 0.0,
+                wall_s=time.perf_counter() - t_dispatch,
+                backend=backend_str,
             )
-            params_fit = np.asarray(params_fit)
-            rms = np.asarray(rms)
-            std = np.asarray(std) if compute_error else None
 
             for b, rows in enumerate(row_groups):
                 ok = rms[b] <= max_rms_dev and np.isfinite(rms[b])
@@ -623,8 +662,11 @@ def _spill_scipy(
     max_iter, max_shift, max_rms_dev, param_mode_key,
 ):
     """Host scipy path for clusters larger than the biggest bucket."""
+    from . import diagnostics
     from .hostref import fit_cluster_scipy
 
+    t_dispatch = time.perf_counter()
+    n_rej = 0
     for rows in row_groups:
         n = len(rows)
         t = int(rows[t_column].iloc[0])
@@ -645,6 +687,21 @@ def _spill_scipy(
             for j, name in enumerate(param_names):
                 out.loc[rows.index, name] = params[:, j]
             out.loc[rows.index, "cost"] = float(rms)
+        else:
+            n_rej += 1
+    if row_groups:
+        diagnostics.record_batch(
+            cluster_size=len(row_groups[0]),
+            n_clusters=len(row_groups),
+            n_lanes=len(row_groups),
+            n_converged=len(row_groups) - n_rej,
+            n_rejected=n_rej,
+            mean_lm_iters=0.0,
+            max_lm_iters=0,
+            mean_rms=0.0,
+            wall_s=time.perf_counter() - t_dispatch,
+            backend="scipy",
+        )
 
 
 def train_leastsq(

@@ -136,3 +136,53 @@ def test_pallas_available_gates():
     layout = build_layout(model, 2, True, 2, {})
     assert pallas_available(model, layout, False, None)
     assert not pallas_available(model, layout, True, None)
+
+
+def test_pallas_multichunk_matches_singlechunk():
+    """Forcing a small pixel chunk (fori_loop accumulation path) must give
+    identical results to the single-chunk path."""
+    model, layout, fns, arrs, valid = _problem("gauss", 2)
+    frames, fidx, params0 = arrs
+    res_xla, res_single = _solve_both(
+        model, layout, fns, frames, fidx, params0, valid
+    )
+    # multi-chunk: 81 pixels in chunks of 24 (pad to 96, tail masked)
+    pos0 = params0[..., list(layout.pos_param_idx)]
+    frame_shape = frames.shape[1:]
+    origin = origins_for(pos0, WINDOW, frame_shape)
+
+    def gather_one(fi, org):
+        win = jax.lax.dynamic_slice(
+            frames, (fi, org[0], org[1]), (1,) + WINDOW
+        )
+        return win.reshape(-1)
+
+    pixels = jax.vmap(gather_one)(fidx, origin)
+    mask = radius_mask(pos0, origin, WINDOW, (3.0, 3.0))
+    norm = jnp.maximum(
+        jnp.max(jnp.abs(params0[..., layout.signal_param_idx]), axis=1),
+        1e-6,
+    )
+    vect0 = layout.vect_from_params(params0)
+    V = layout.n_slots
+    lo = np.full(V, -np.inf, np.float32)
+    hi = np.full(V, np.inf, np.float32)
+    for d, p in enumerate(layout.pos_param_idx):
+        for s in layout.slot_idx[:, p]:
+            if s >= 0:
+                lo[s] = 0.0
+                hi[s] = float(frame_shape[d] - 1)
+    from clustertracking_tpu.ops.pallas_lm import make_pallas_lm
+
+    psolve = make_pallas_lm(
+        model, layout, WINDOW, lo, hi, max_iter=MAX_IT, interpret=True,
+        chunk_len=24,
+    )
+    res_multi = psolve(vect0, params0, pixels, mask, origin, norm, valid)
+    np.testing.assert_allclose(
+        np.asarray(res_multi.x), np.asarray(res_single.x),
+        rtol=0, atol=2e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_multi.n_iter), np.asarray(res_single.n_iter)
+    )
