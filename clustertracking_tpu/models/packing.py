@@ -114,13 +114,24 @@ class ParamLayout:
         return M
 
     def vect_from_params(self, params):
-        """params[..., n, P] → vect[..., V] (mean over shared slots)."""
-        import jax
+        """params[..., n, P] → vect[..., V] (mean over shared slots).
 
-        M = jnp.asarray(self.pack_matrix(), dtype=params.dtype)
-        flat = params.reshape(*params.shape[:-2], -1)
-        # full f32 precision: packing must be exact on TPU (bf16 default)
-        return jnp.matmul(flat, M.T, precision=jax.lax.Precision.HIGHEST)
+        Static slice-and-stack (one slice per contributor): exact means,
+        no matmul — a [B, nP]×[nP, V] matmul is dispatch-bound on TPU
+        (measured ~3 ms at B=8192 for a 1 MFLOP product)."""
+        contributors: list = [[] for _ in range(self.n_slots)]
+        for i in range(self.n_features):
+            for p in range(self.n_params):
+                s = self.slot_idx[i, p]
+                if s >= 0:
+                    contributors[s].append((i, p))
+        cols = []
+        for slots in contributors:
+            acc = params[..., slots[0][0], slots[0][1]]
+            for i, p in slots[1:]:
+                acc = acc + params[..., i, p]
+            cols.append(acc / len(slots) if len(slots) > 1 else acc)
+        return jnp.stack(cols, axis=-1)
 
     def vect_to_params(self, vect, const_params):
         """vect[..., V] + const values → params[..., n, P].

@@ -35,6 +35,9 @@ class LMResult(NamedTuple):
     cost: jax.Array       # [B] final sum of squared residuals
     n_iter: jax.Array     # [B] iterations taken (int32)
     converged: jax.Array  # [B] bool — hit ftol/xtol (vs iteration cap)
+    # masked-pixel count per lane; only the pallas kernel fills this
+    # (it owns the fit mask) — None from the XLA solvers
+    npix: Optional[jax.Array] = None
 
 
 def _chol_solve_unrolled(A, g):

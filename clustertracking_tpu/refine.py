@@ -73,14 +73,31 @@ _LANE_PAD = 32  # lanes are padded to multiples of this (limits retraces)
 # Jitted bucket solvers (cached per static configuration)
 # ---------------------------------------------------------------------------
 def _gather_stack(frames, frame_idx, origins, window_shape):
-    """Gather [B, Npix] windows from stacked frames [T, *S]."""
+    """Gather [B, Npix] windows from stacked frames [T, *S].
 
-    def one(fi, origin):
-        start = (fi,) + tuple(origin[d] for d in range(origin.shape[0]))
-        win = jax.lax.dynamic_slice(frames, start, (1,) + window_shape)
-        return win.reshape(-1)
+    Two-stage slice: first the window rows at FULL minor-axis width
+    (large contiguous slices the TPU gathers efficiently), then the
+    minor-axis columns from the much smaller row block — measured 2.6x
+    faster than a single vmapped (1, *window) dynamic_slice at B=8192
+    (16 ms → 6 ms; the one-shot form is scalar-core bound)."""
+    D = len(window_shape)
+    Wminor = frames.shape[-1]
 
-    return jax.vmap(one)(frame_idx, origins)
+    def rows_one(fi, origin):
+        start = (fi,) + tuple(origin[d] for d in range(D - 1)) + (0,)
+        size = (1,) + window_shape[:-1] + (Wminor,)
+        return jax.lax.dynamic_slice(frames, start, size).reshape(
+            window_shape[:-1] + (Wminor,)
+        )
+
+    rows = jax.vmap(rows_one)(frame_idx, origins)  # [B, *win[:-1], Wminor]
+
+    def cols_one(r, origin):
+        start = (0,) * (D - 1) + (origin[D - 1],)
+        return jax.lax.dynamic_slice(r, start, window_shape)
+
+    out = jax.vmap(cols_one)(rows, origins)
+    return out.reshape(out.shape[0], -1)
 
 
 @lru_cache(maxsize=256)
@@ -281,15 +298,20 @@ def _bucket_solver(
             from .ops.pallas_lm import make_pallas_lm
 
             pallas_solve = make_pallas_lm(
-                model, layout, window_shape, lo_np, hi_np,
+                model, layout, window_shape, lo_np, hi_np, radius,
                 max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
             )
 
-        def gather(vect, params_ref):
+        def gather(vect, params_ref, with_mask=True):
             pos = positions_of(vect, params_ref)
             origin = origins_for(pos, window_shape, frame_shape)
             pixels = _gather_stack(frames, frame_idx, origin, window_shape)
-            mask = radius_mask(pos, origin, window_shape, radius)
+            # the pallas kernel computes the fit mask itself (from pos +
+            # origin) — the [B, Npix] mask is only built for XLA solves
+            mask = (
+                radius_mask(pos, origin, window_shape, radius)
+                if with_mask else None
+            )
             return pixels, mask, origin, pos
 
         def outer_cond(state):
@@ -298,9 +320,11 @@ def _bucket_solver(
 
         def outer_body(state):
             it, vect, need, rms, conv, iters = state
-            pixels, mask, origin, pos_at = gather(vect, params0)
-            args = (params0, pixels, mask, origin, norm)
+            pixels, mask, origin, pos_at = gather(
+                vect, params0, with_mask=not use_pallas
+            )
             if use_global:
+                args = (params0, pixels, mask, origin, norm)
                 res = lm_solve_global(
                     residual, residual_jac, vect, tuple(gslots), args,
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
@@ -308,9 +332,10 @@ def _bucket_solver(
                 )
             elif use_pallas:
                 res = pallas_solve(
-                    vect, params0, pixels, mask, origin, norm, need
+                    vect, params0, pixels, pos_at, origin, norm, need
                 )
             else:
+                args = (params0, pixels, mask, origin, norm)
                 res = lm_solve(
                     residual, residual_jac, vect, args,
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
@@ -320,7 +345,11 @@ def _bucket_solver(
             shift = jnp.max(
                 jnp.abs(pos_new - pos_at), axis=(1, 2)
             )
-            npx = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+            npx = jnp.maximum(
+                res.npix if res.npix is not None
+                else jnp.sum(mask, axis=1),
+                1.0,
+            )
             rms_new = jnp.sqrt(res.cost / npx)
             rms = jnp.where(need, rms_new, rms)
             conv = jnp.where(need, res.converged, conv)

@@ -84,9 +84,14 @@ def _solve_both(model, layout, fns, frames, fidx, params0, valid,
         lower=jnp.asarray(lo), upper=jnp.asarray(hi), valid=valid,
     )
     psolve = make_pallas_lm(
-        model, layout, WINDOW, lo, hi, max_iter=MAX_IT, interpret=True
+        model, layout, WINDOW, lo, hi, radius, max_iter=MAX_IT,
+        interpret=True,
     )
-    res_pal = psolve(vect0, params0, pixels, mask, origin, norm, valid)
+    res_pal = psolve(vect0, params0, pixels, pos0, origin, norm, valid)
+    # the kernel's in-kernel mask must match radius_mask pixel-for-pixel
+    np.testing.assert_allclose(
+        np.asarray(res_pal.npix), np.asarray(mask.sum(axis=1))
+    )
     return res_xla, res_pal
 
 
@@ -175,10 +180,10 @@ def test_pallas_multichunk_matches_singlechunk():
     from clustertracking_tpu.ops.pallas_lm import make_pallas_lm
 
     psolve = make_pallas_lm(
-        model, layout, WINDOW, lo, hi, max_iter=MAX_IT, interpret=True,
-        chunk_len=24,
+        model, layout, WINDOW, lo, hi, (3.0, 3.0), max_iter=MAX_IT,
+        interpret=True, chunk_len=24,
     )
-    res_multi = psolve(vect0, params0, pixels, mask, origin, norm, valid)
+    res_multi = psolve(vect0, params0, pixels, pos0, origin, norm, valid)
     np.testing.assert_allclose(
         np.asarray(res_multi.x), np.asarray(res_single.x),
         rtol=0, atol=2e-5,
