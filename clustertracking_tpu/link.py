@@ -24,7 +24,7 @@ import pandas as pd
 
 from .utils import guess_pos_columns
 
-__all__ = ["link", "link_df"]
+__all__ = ["link", "link_df", "Linker"]
 
 
 def link(
@@ -41,8 +41,6 @@ def link(
     backend='device' runs the lax.scan mutual-NN linker (ops/link.py) —
     same result on unambiguous frames, documented tie-breaking otherwise.
     """
-    from scipy.spatial import cKDTree
-
     if pos_columns is None:
         pos_columns = guess_pos_columns(f)
     if backend == "device":
@@ -52,36 +50,57 @@ def link(
     f = f.sort_values(t_column, kind="stable").copy()
     particle = np.full(len(f), -1, dtype=np.int64)
 
-    # active tracks: id → (position, last_seen_frame)
-    track_pos: list = []
-    track_id: list = []
-    track_seen: list = []
-    next_id = 0
-
+    linker = Linker(search_range, memory)
     frames = f.groupby(t_column, sort=True).indices
     positions_all = f[pos_columns].to_numpy(dtype=float)
-
     for t, idx in frames.items():
-        pos = positions_all[idx]
-        k = len(idx)
+        particle[idx] = linker.advance(int(t), positions_all[idx])
+
+    f["particle"] = particle
+    return f.sort_index()
+
+
+class Linker:
+    """Incremental greedy-by-distance frame linker (host).
+
+    Holds the active-track state between frames so linking can stream —
+    the checkpoint/resume path (pipeline.track with ``checkpoint_dir``)
+    serializes ``state()`` and resumes with ``from_state``.  ``link()``
+    drives it over whole DataFrames; semantics are the module-docstring
+    tie-breaking contract.
+    """
+
+    def __init__(self, search_range: float, memory: int = 0):
+        self.search_range = float(search_range)
+        self.memory = int(memory)
+        self.track_pos: list = []
+        self.track_id: list = []
+        self.track_seen: list = []
+        self.next_id = 0
+
+    def advance(self, t: int, pos: np.ndarray) -> np.ndarray:
+        """Link one frame's positions [k, D]; returns particle ids [k]."""
+        from scipy.spatial import cKDTree
+
+        k = len(pos)
         assigned = np.full(k, -1, dtype=np.int64)
 
         # retire stale tracks
         keep = [
-            i for i, seen in enumerate(track_seen)
-            if t - seen <= memory + 1
+            i for i, seen in enumerate(self.track_seen)
+            if t - seen <= self.memory + 1
         ]
-        track_pos = [track_pos[i] for i in keep]
-        track_id = [track_id[i] for i in keep]
-        track_seen = [track_seen[i] for i in keep]
+        self.track_pos = [self.track_pos[i] for i in keep]
+        self.track_id = [self.track_id[i] for i in keep]
+        self.track_seen = [self.track_seen[i] for i in keep]
 
-        if track_pos and k:
-            tp = np.asarray(track_pos)
+        if self.track_pos and k:
+            tp = np.asarray(self.track_pos)
             tree = cKDTree(tp)
             # all candidate pairs within range, sorted by distance
             dists, tidx = tree.query(
                 pos, k=min(len(tp), 4),
-                distance_upper_bound=search_range,
+                distance_upper_bound=self.search_range,
             )
             dists = np.atleast_2d(dists)
             tidx = np.atleast_2d(tidx)
@@ -96,23 +115,43 @@ def link(
             for d, j, ti in cand:
                 if assigned[j] >= 0 or ti in used_tracks:
                     continue
-                assigned[j] = track_id[ti]
+                assigned[j] = self.track_id[ti]
                 used_tracks.add(ti)
-                track_pos[ti] = pos[j]
-                track_seen[ti] = t
+                self.track_pos[ti] = pos[j]
+                self.track_seen[ti] = t
 
         for j in range(k):
             if assigned[j] < 0:
-                assigned[j] = next_id
-                track_pos.append(pos[j])
-                track_id.append(next_id)
-                track_seen.append(t)
-                next_id += 1
+                assigned[j] = self.next_id
+                self.track_pos.append(pos[j])
+                self.track_id.append(self.next_id)
+                self.track_seen.append(t)
+                self.next_id += 1
+        return assigned
 
-        particle[idx] = assigned
+    def state(self) -> dict:
+        """JSON-serializable snapshot of the active tracks."""
+        return {
+            "search_range": self.search_range,
+            "memory": self.memory,
+            "track_pos": np.asarray(
+                self.track_pos, dtype=float
+            ).tolist(),
+            "track_id": list(map(int, self.track_id)),
+            "track_seen": list(map(int, self.track_seen)),
+            "next_id": int(self.next_id),
+        }
 
-    f["particle"] = particle
-    return f.sort_index()
+    @classmethod
+    def from_state(cls, state: dict) -> "Linker":
+        lk = cls(state["search_range"], state["memory"])
+        lk.track_pos = [
+            np.asarray(p, dtype=float) for p in state["track_pos"]
+        ]
+        lk.track_id = list(state["track_id"])
+        lk.track_seen = list(state["track_seen"])
+        lk.next_id = int(state["next_id"])
+        return lk
 
 
 def _link_device(f, search_range, memory, pos_columns, t_column):

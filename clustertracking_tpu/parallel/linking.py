@@ -1,0 +1,158 @@
+"""Frame-sharded linking with boundary stitching (SURVEY.md §5).
+
+Linking is the only stage of the pipeline with a sequential dependency
+along the time axis (frame t links against t-1..t-memory-1).  The survey's
+long-context design: shard the video into contiguous frame ranges, link
+each range independently on its own device (pure scan, no comms), then
+stitch trajectories across the S-1 range boundaries with a tiny host-side
+greedy match — the only cross-shard data is each range's head/tail track
+summaries.
+
+Semantics: within a shard, identical to ops/link.py::link_on_device; at a
+boundary, a tail track (last seen within ``memory+1`` frames of the cut)
+continues into a head track (first seen within ``memory+1`` frames after
+it) when they are mutually nearest within ``search_range`` — the same
+greedy-by-distance contract as the host linker, applied to the boundary
+pairs only.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.link import link_on_device
+
+__all__ = ["link_sharded"]
+
+
+def _heads_tails(parts_s, pos_s, valid_s, window):
+    """Per-track first/last appearance inside one shard.
+
+    Returns dicts id -> (local_frame, position) for heads (first seen in
+    the first ``window`` frames) and tails (last seen in the final
+    ``window`` frames)."""
+    Ts, K = parts_s.shape
+    first = {}
+    last = {}
+    for t in range(Ts):
+        for k in range(K):
+            if not valid_s[t, k]:
+                continue
+            pid = int(parts_s[t, k])
+            if pid < 0:
+                continue
+            if pid not in first:
+                first[pid] = (t, pos_s[t, k])
+            last[pid] = (t, pos_s[t, k])
+    heads = {p: v for p, v in first.items() if v[0] < window}
+    tails = {p: v for p, v in last.items() if v[0] >= Ts - window}
+    return heads, tails
+
+
+def link_sharded(
+    positions,
+    valid,
+    search_range: float,
+    memory: int = 0,
+    n_shards: Optional[int] = None,
+    mesh=None,
+    axis: str = "data",
+):
+    """Link [T, K, D] padded per-frame positions across an S-way split.
+
+    With ``mesh`` given, the shard axis is placed over the mesh so each
+    device runs its own scan (data-parallel in frame ranges); otherwise
+    the S scans run batched on one device.  Returns particle ids [T, K]
+    (int64, -1 on padding), globally stitched.
+    """
+    positions = np.asarray(positions, np.float32)
+    valid = np.asarray(valid, bool)
+    T, K, D = positions.shape
+    if n_shards is None:
+        n_shards = len(mesh.devices.reshape(-1)) if mesh is not None else 1
+    S = int(n_shards)
+    Ts = -(-T // S)
+    Tpad = S * Ts
+    if Tpad > T:
+        positions = np.concatenate(
+            [positions, np.full((Tpad - T, K, D), 1e8, np.float32)]
+        )
+        valid = np.concatenate([valid, np.zeros((Tpad - T, K), bool)])
+    pos_s = positions.reshape(S, Ts, K, D)
+    val_s = valid.reshape(S, Ts, K)
+
+    def one(p, v):
+        return link_on_device(p, v, float(search_range), int(memory))
+
+    fn = jax.jit(jax.vmap(one))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(axis))
+        pos_j = jax.device_put(jnp.asarray(pos_s), sh)
+        val_j = jax.device_put(jnp.asarray(val_s), sh)
+        parts = np.asarray(fn(pos_j, val_j))
+    else:
+        parts = np.asarray(fn(jnp.asarray(pos_s), jnp.asarray(val_s)))
+
+    # globalize ids: shard-local ids are < Ts*K
+    offset = Ts * K
+    parts = parts.astype(np.int64)
+    parts = np.where(
+        parts >= 0, parts + np.arange(S)[:, None, None] * offset, -1
+    )
+
+    # stitch boundaries left -> right
+    window = memory + 1
+    remap: dict = {}
+
+    def resolve(pid):
+        while pid in remap:
+            pid = remap[pid]
+        return pid
+
+    for s in range(1, S):
+        _, tails = _heads_tails(parts[s - 1], pos_s[s - 1],
+                                val_s[s - 1], window)
+        heads, _ = _heads_tails(parts[s], pos_s[s], val_s[s], window)
+        cand = []
+        for hid, (tf_h, p_h) in heads.items():
+            for tid, (tf_t, p_t) in tails.items():
+                gap = (tf_h + Ts) - tf_t  # frames between appearances
+                if gap > window:
+                    continue
+                d = float(np.linalg.norm(p_h - p_t))
+                if d <= search_range:
+                    cand.append((d, hid, tid))
+        cand.sort()
+        used_h, used_t = set(), set()
+        for d, hid, tid in cand:
+            if hid in used_h or tid in used_t:
+                continue
+            used_h.add(hid)
+            used_t.add(tid)
+            remap[hid] = resolve(tid)
+
+    if remap:
+        flat = parts.reshape(-1)
+        uniq = np.unique(flat[flat >= 0])
+        lut = {int(u): resolve(int(u)) for u in uniq}
+        flat = np.array(
+            [lut[int(p)] if p >= 0 else -1 for p in flat], np.int64
+        )
+        parts = flat.reshape(parts.shape)
+
+    out = parts.reshape(Tpad, K)[:T]
+    # canonicalize to consecutive ids in order of first appearance
+    flat = out.reshape(-1)
+    mapping: dict = {}
+    for p in flat:
+        if p >= 0 and int(p) not in mapping:
+            mapping[int(p)] = len(mapping)
+    out = np.array(
+        [mapping[int(p)] if p >= 0 else -1 for p in flat], np.int64
+    ).reshape(out.shape)
+    return out

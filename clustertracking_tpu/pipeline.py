@@ -84,14 +84,31 @@ def track(
     link_backend: str = "device",
     find_backend: str = "host",
     t_column: str = "frame",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 16,
     **refine_kwargs,
 ) -> pd.DataFrame:
     """Full pipeline over a video reader: returns refined, linked features.
 
     ``reader[t]`` must yield frames (CoordinateReader, ndarray stack via a
-    list, or any pims-like reader)."""
+    list, or any pims-like reader).
+
+    Checkpoint/resume (new capability — the reference has none, SURVEY.md
+    §5): pass ``checkpoint_dir`` to process the video in
+    ``checkpoint_every``-frame chunks, persisting accumulated results and
+    the incremental linker state after each chunk.  Re-running the same
+    call resumes from the last completed chunk; results are identical to a
+    single-shot run (the linker is deterministic and its state is
+    serialized exactly)."""
     if n_frames is None:
         n_frames = len(reader)
+    if checkpoint_dir is not None:
+        return _track_checkpointed(
+            reader, diameter, separation, search_range, memory, n_frames,
+            locate_separation, threshold, percentile, max_features,
+            find_backend, t_column, checkpoint_dir, checkpoint_every,
+            refine_kwargs,
+        )
     if locate_separation is None:
         # cluster members sit CLOSER than `separation` by definition, so
         # peak suppression must use a tighter window or overlapping
@@ -126,3 +143,98 @@ def track(
         f, search_range, memory=memory, t_column=t_column,
         backend=link_backend,
     )
+
+
+def _track_checkpointed(
+    reader, diameter, separation, search_range, memory, n_frames,
+    locate_separation, threshold, percentile, max_features,
+    find_backend, t_column, checkpoint_dir, checkpoint_every,
+    refine_kwargs,
+):
+    """Chunked track with persisted state (resume-safe).
+
+    Layout of ``checkpoint_dir``: ``state.json`` (next frame, linker
+    state, running cluster-id offset) + ``results.pkl`` (accumulated
+    linked DataFrame).  Writes are atomic (tmp + rename), so a crash
+    mid-chunk resumes from the previous complete chunk.
+    """
+    import json
+    import os
+    from pathlib import Path
+
+    from .link import Linker
+
+    ckpt = Path(checkpoint_dir)
+    ckpt.mkdir(parents=True, exist_ok=True)
+    state_file = ckpt / "state.json"
+    results_file = ckpt / "results.pkl"
+
+    ndim0 = np.asarray(reader[0]).ndim
+    sep0 = separation if separation is not None else diameter
+    if locate_separation is None:
+        locate_separation = tuple(
+            max(2, int(round(s / 2))) for s in validate_tuple(sep0, ndim0)
+        )
+    if search_range is None:
+        search_range = float(np.mean(validate_tuple(diameter, ndim0)))
+
+    if state_file.exists():
+        state = json.loads(state_file.read_text())
+        start = int(state["next_frame"])
+        linker = Linker.from_state(state["linker"])
+        cluster_offset = int(state["cluster_offset"])
+        results = pd.read_pickle(results_file) if results_file.exists() \
+            else pd.DataFrame()
+    else:
+        start = 0
+        linker = Linker(search_range, memory)
+        cluster_offset = 0
+        results = pd.DataFrame()
+
+    pos_columns = default_pos_columns(ndim0)
+    for chunk_start in range(start, n_frames, checkpoint_every):
+        chunk = range(
+            chunk_start, min(chunk_start + checkpoint_every, n_frames)
+        )
+        frames_f = []
+        for t in chunk:
+            f_t = locate(
+                np.asarray(reader[t]), diameter, locate_separation,
+                threshold=threshold, percentile=percentile,
+                max_features=max_features,
+            )
+            f_t[t_column] = t
+            frames_f.append(f_t)
+        f = pd.concat(frames_f, ignore_index=True)
+        if len(f):
+            f = find_clusters(
+                f, sep0, t_column=t_column, backend=find_backend
+            )
+            f["cluster"] = f["cluster"] + cluster_offset
+            cluster_offset = int(f["cluster"].max()) + 1
+            f = refine_leastsq(
+                f, reader, diameter, sep0, t_column=t_column,
+                **refine_kwargs,
+            )
+            f = f[f["cost"].notna()].reset_index(drop=True)
+            particle = np.full(len(f), -1, dtype=np.int64)
+            for t, idx in f.groupby(t_column, sort=True).indices.items():
+                particle[idx] = linker.advance(
+                    int(t), f.iloc[idx][pos_columns].to_numpy(dtype=float)
+                )
+            f["particle"] = particle
+            results = pd.concat([results, f], ignore_index=True)
+
+        # atomic persist: results first, then the state pointing at them
+        tmp = ckpt / "results.pkl.tmp"
+        results.to_pickle(tmp)
+        os.replace(tmp, results_file)
+        tmp = ckpt / "state.json.tmp"
+        tmp.write_text(json.dumps({
+            "next_frame": int(chunk.stop),
+            "linker": linker.state(),
+            "cluster_offset": cluster_offset,
+        }))
+        os.replace(tmp, state_file)
+
+    return results

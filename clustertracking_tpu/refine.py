@@ -744,31 +744,41 @@ def train_leastsq(
     pos_columns: Optional[list] = None,
     t_column: str = "frame",
     max_samples: int = 512,
+    max_rounds: int = 5,
+    param_val: Optional[dict] = None,
     **kwargs,
 ) -> dict:
     """Calibrate 'global'-mode parameters across many features/frames.
 
-    Rebuild of refine.py::train_leastsq (SURVEY.md §3.3): builds one joint
-    fit over a sample of clusters where slots flagged 'global' (typically
-    the model's extra parameters, e.g. inv_series coefficients) are shared
-    across all sampled clusters (ops/lm.py::lm_solve_global), and returns
-    the learned values as a dict to feed back via ``param_val``.
+    Rebuild of refine.py::train_leastsq (SURVEY.md §3.3): jointly fits
+    slots flagged 'global' (typically the model's extra parameters, e.g.
+    inv_series coefficients) over a sample of clusters spanning ALL
+    cluster sizes, and returns the learned values as a dict to feed back
+    via ``param_val``.
 
-    v1 restriction (documented): the joint fit samples clusters of the most
-    common cluster size only; mixed-size joint training is a later round.
+    Joint structure: within one solver dispatch the global slots are tied
+    exactly across lanes (ops/lm.py::lm_solve_global — the Gauss–Newton
+    system of the joint problem); across size buckets and frame chunks the
+    tie is closed by block-coordinate rounds — each round refits every
+    bucket starting from the current shared estimate, then pools the
+    bucket results (weighted by accepted-cluster count) until the shared
+    values move less than ``sqrt(tol)`` relatively or ``max_rounds`` is
+    hit.  With a single bucket (the common case) one round is exact and
+    the loop exits after round two confirms convergence.
     """
     if pos_columns is None:
         pos_columns = guess_pos_columns(f)
-    ndim = len(pos_columns)
     model = get_model(fit_function)
 
     if "cluster" not in f.columns:
         sep = separation if separation is not None else diameter
         f = find_clusters(f, sep, pos_columns, t_column)
 
-    # restrict to dominant bucket & sample
-    dominant = int(f["cluster_size"].mode().iloc[0])
-    sel = f[f["cluster_size"] == dominant]
+    # sample clusters across all sizes (size mix preserved by taking ids
+    # in order of appearance); huge spill-to-scipy clusters are excluded
+    # (the host path cannot tie global slots)
+    max_n = int(kwargs.get("max_cluster_size", 8))
+    sel = f[f["cluster_size"] <= max_n]
     ids = sel["cluster"].unique()[:max_samples]
     sel = sel[sel["cluster"].isin(ids)]
 
@@ -777,15 +787,37 @@ def train_leastsq(
     for name in model.extra_params:
         mode.setdefault(name, "global")
 
-    fitted = refine_leastsq(
-        sel, reader, diameter, separation,
-        fit_function=model, param_mode=mode,
-        pos_columns=pos_columns, t_column=t_column,
-        ftol=tol, xtol=tol, **kwargs,
-    )
-    learned = {}
-    for name in model.extra_params:
+    learned = {
+        name: float(model.default[name]) for name in model.extra_params
+    }
+    if param_val:
+        learned.update({
+            k: float(v) for k, v in param_val.items()
+            if k in model.extra_params
+        })
+    user_val = {
+        k: v for k, v in (param_val or {}).items()
+        if k not in model.extra_params
+    }
+    rtol = math.sqrt(tol)
+    for _ in range(max_rounds):
+        fitted = refine_leastsq(
+            sel, reader, diameter, separation,
+            fit_function=model, param_mode=mode,
+            param_val={**user_val, **learned},
+            pos_columns=pos_columns, t_column=t_column,
+            ftol=tol, xtol=tol, **kwargs,
+        )
         ok = fitted["cost"].notna()
-        learned[name] = float(fitted.loc[ok, name].mean()) if ok.any() \
-            else float(model.default[name])
+        if not ok.any():
+            break
+        prev = dict(learned)
+        for name in model.extra_params:
+            learned[name] = float(fitted.loc[ok, name].mean())
+        delta = max(
+            abs(learned[k] - prev[k]) / max(abs(prev[k]), 1e-12)
+            for k in learned
+        ) if learned else 0.0
+        if delta < rtol:
+            break
     return learned

@@ -1,0 +1,82 @@
+"""Frame-sharded linking + boundary stitching vs single-scan linking.
+
+Runs on the conftest's 8-device virtual CPU mesh — the multi-chip link
+design from SURVEY.md §5 (each device links its frame range; boundaries
+stitch via head/tail greedy matching)."""
+import numpy as np
+import jax
+import pytest
+
+from clustertracking_tpu.ops.link import link_on_device
+from clustertracking_tpu.parallel.linking import link_sharded
+from clustertracking_tpu.parallel.sharding import make_mesh
+
+
+def _trajectories(T=16, N=10, seed=4, step=0.4):
+    rng = np.random.default_rng(seed)
+    start = rng.uniform(10, 90, (N, 2))
+    pos = np.zeros((T, N, 2), np.float32)
+    pos[0] = start
+    for t in range(1, T):
+        pos[t] = pos[t - 1] + rng.normal(0, step, (N, 2))
+    valid = np.ones((T, N), bool)
+    return pos, valid
+
+
+def _canon(parts, valid):
+    """Partition signature: group label per (t, k), first-appearance ids."""
+    out = np.full(parts.shape, -1, np.int64)
+    mapping = {}
+    for t in range(parts.shape[0]):
+        for k in range(parts.shape[1]):
+            if not valid[t, k]:
+                continue
+            p = int(parts[t, k])
+            if p not in mapping:
+                mapping[p] = len(mapping)
+            out[t, k] = mapping[p]
+    return out
+
+
+def test_sharded_matches_single_scan():
+    pos, valid = _trajectories()
+    single = np.asarray(link_on_device(pos, valid, 3.0, 0))
+    sharded = link_sharded(pos, valid, 3.0, 0, n_shards=4)
+    np.testing.assert_array_equal(
+        _canon(single, valid), _canon(sharded, valid)
+    )
+
+
+def test_sharded_on_mesh():
+    pos, valid = _trajectories(T=24)
+    mesh = make_mesh(jax.devices()[:4])
+    single = np.asarray(link_on_device(pos, valid, 3.0, 0))
+    sharded = link_sharded(pos, valid, 3.0, 0, mesh=mesh)
+    np.testing.assert_array_equal(
+        _canon(single, valid), _canon(sharded, valid)
+    )
+
+
+def test_sharded_with_memory_gap_at_boundary():
+    """A particle vanishing exactly across a shard cut reconnects when
+    memory allows."""
+    pos, valid = _trajectories(T=16, N=6)
+    # particle 0 is missing in frames 7 and 8 (the 4-shard cut is at 8)
+    valid[7, 0] = False
+    valid[8, 0] = False
+    single = np.asarray(link_on_device(pos, valid, 3.0, 2))
+    sharded = link_sharded(pos, valid, 3.0, 2, n_shards=4)
+    np.testing.assert_array_equal(
+        _canon(single, valid), _canon(sharded, valid)
+    )
+    # the track really is one trajectory end-to-end
+    assert sharded[6, 0] == sharded[9, 0]
+
+
+def test_sharded_uneven_frames():
+    pos, valid = _trajectories(T=13)
+    single = np.asarray(link_on_device(pos, valid, 3.0, 0))
+    sharded = link_sharded(pos, valid, 3.0, 0, n_shards=4)
+    np.testing.assert_array_equal(
+        _canon(single, valid), _canon(sharded, valid)
+    )

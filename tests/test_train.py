@@ -1,0 +1,98 @@
+"""train_leastsq: learning 'global' model parameters from image data.
+
+Reference parity (SURVEY.md §3.3): calibrate the trainable coefficients of
+an experimental-PSF model (inv_series) against frames whose features were
+drawn with KNOWN coefficients, then assert recovery.  Mixed cluster sizes
+exercise the cross-bucket block-coordinate rounds.
+"""
+import numpy as np
+import pandas as pd
+
+import clustertracking_tpu as ct
+from clustertracking_tpu import artificial
+
+# ground-truth inverse-series PSF: 1 / (1 + a1 r2 + a2 r2²)
+A1, A2 = 0.8, 0.25
+
+
+def _psf(r2):
+    return 1.0 / (1.0 + A1 * r2 + A2 * r2 * r2)
+
+
+def _scene(mixed=True, n_spots=12, seed=3):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((160, 160))
+    rows = []
+    k = 0
+    # non-overlapping centers on a jittered grid (isolated spots unless
+    # a dimer is drawn deliberately)
+    grid = [
+        (y, x)
+        for y in range(25, 140, 28)
+        for x in range(25, 140, 28)
+    ]
+    rng.shuffle(grid)
+    centers = iter(grid)
+    while k < n_spots:
+        n = (2 if (mixed and k % 3 == 0) else 1)
+        center = np.asarray(next(centers), float) + rng.uniform(-3, 3, 2)
+        if n == 1:
+            pos = np.atleast_2d(
+                center + 0.0
+            )
+            artificial.draw_feature(img, pos[0], 2.0, 180.0, _psf,
+                                    cutoff_sigmas=8.0)
+        else:
+            pos = artificial.draw_cluster(
+                img, center, size=2.0, separation=5.0, n=2,
+                signal=180.0, angle=rng.uniform(0, np.pi),
+                feat_func=_psf, cutoff_sigmas=8.0,
+            )
+        for p in pos:
+            rows.append({"frame": 0, "y": p[0], "x": p[1],
+                         "signal": 180.0, "size": 2.0})
+            k += 1
+    return img, pd.DataFrame(rows)
+
+
+def test_train_inv_series_recovers_coefficients():
+    img, f = _scene(mixed=False)
+    learned = ct.train_leastsq(
+        f, img, diameter=11, separation=6,
+        fit_function="inv_series_2",
+        param_mode={"size": "const"},
+    )
+    assert abs(learned["coeff_1"] - A1) < 0.05
+    assert abs(learned["coeff_2"] - A2) < 0.05
+
+
+def test_train_mixed_cluster_sizes():
+    """Cross-bucket joint training: singles AND dimers contribute to the
+    same shared coefficients (block-coordinate rounds)."""
+    img, f = _scene(mixed=True)
+    learned = ct.train_leastsq(
+        f, img, diameter=11, separation=6,
+        fit_function="inv_series_2",
+        param_mode={"size": "const"},
+    )
+    assert abs(learned["coeff_1"] - A1) < 0.07
+    assert abs(learned["coeff_2"] - A2) < 0.07
+
+
+def test_train_feeds_back_into_refine():
+    """Learned params via param_val improve fits vs the default model."""
+    img, f = _scene(mixed=False)
+    learned = ct.train_leastsq(
+        f, img, diameter=11, separation=6,
+        fit_function="inv_series_2", param_mode={"size": "const"},
+    )
+    f0 = f.copy()
+    f0["y"] += 0.3
+    f0["x"] -= 0.2
+    out = ct.refine_leastsq(
+        f0, img, diameter=11, separation=6,
+        fit_function="inv_series_2", param_mode={"size": "const"},
+        param_val=learned,
+    )
+    err = np.hypot(out["y"] - f["y"], out["x"] - f["x"])
+    assert float(err.max()) < 0.03
