@@ -112,6 +112,8 @@ def make_pallas_lm(
     tile_b: Optional[int] = None,
     interpret: Optional[bool] = None,
     chunk_len: Optional[int] = None,
+    fused_gather: Optional[bool] = None,
+    frame_shape: Optional[tuple] = None,
 ):
     """Build the fused LM solver for one bucket configuration.
 
@@ -172,8 +174,11 @@ def make_pallas_lm(
         radius = tuple((ws - 1) / 2.0 for ws in window_shape)
     radius = tuple(float(r) for r in radius)
 
-    def kernel(vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
-               xout_ref, stats_ref):
+    def kernel_impl(pix_of_chunk, vect_ref, cp_ref, pos_ref, org_ref,
+                    aux_ref, xout_ref, stats_ref):
+        """Shared LM body; ``pix_of_chunk(c0) -> [CL, TB]`` supplies pixel
+        chunks (from a VMEM input ref, or from the DMA-gathered scratch in
+        the fused-gather kernel)."""
         from jax.experimental import pallas as pl
 
         norm = _row(aux_ref, 0)               # [1, TB]
@@ -192,7 +197,7 @@ def make_pallas_lm(
             the (ellipsoidal) radius of ANY feature at its gather-time
             position, 0.0 outside and on the padded chunk tail.
             """
-            pixc = pix_ref[pl.ds(c0, CL), :]
+            pixc = pix_of_chunk(c0)
             ids = jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0) + c0
             off = []
             stride = Npix
@@ -511,6 +516,111 @@ def make_pallas_lm(
         stats_ref[4:5, :] = npix
         stats_ref[5:8, :] = jnp.zeros((3, TB), jnp.float32)
 
+    def kernel(vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
+               xout_ref, stats_ref):
+        from jax.experimental import pallas as pl
+
+        kernel_impl(
+            lambda c0: pix_ref[pl.ds(c0, CL), :],
+            vect_ref, cp_ref, pos_ref, org_ref, aux_ref,
+            xout_ref, stats_ref,
+        )
+
+    # Fused-gather block geometry (2D only): a DMA from a tiled HBM
+    # memref needs 8/128-aligned offsets AND shapes in the two minor
+    # dims, so each lane fetches an aligned superset block
+    # [R_BLK, W_BLK] at (oy//8*8, ox//128*128) (edge-clamped on the
+    # host), and the exact wy×wx window is extracted in-kernel with two
+    # batched one-hot matmuls on the MXU.
+    if len(window_shape) == 2:
+        _R_BLK = -(-(window_shape[0] + 7) // 8) * 8
+        _W_BLK = 128 if window_shape[1] <= 116 else 256
+    else:
+        _R_BLK = _W_BLK = 0
+
+    def kernel_fused(sidx_ref, frames_ref, vect_ref, cp_ref, pos_ref,
+                     org_ref, sub_ref, aux_ref, xout_ref, stats_ref,
+                     blk_scratch, pix_scratch, sems):
+        """DMA-gather variant: aligned window-superset blocks are pulled
+        straight from the frame stack in HBM — one DMA descriptor per
+        lane, double-buffered across grid tiles so the scalar core issues
+        tile i+1's copies while the VPU runs tile i's LM iterations —
+        instead of an XLA gather (scalar-core bound: ~6 ms per dispatch
+        at B=8192 even in its two-stage form)."""
+        from jax.experimental import pallas as pl
+
+        i = pl.program_id(0)
+        nt = pl.num_programs(0)
+        wy, wx = window_shape
+        R, Wb = _R_BLK, _W_BLK
+
+        def dma(k, tile, slot):
+            # sidx is flat [(fi, oy8, ox128) x Bpad] — a 2D SMEM operand
+            # pads its minor dim to a full tile (4 MB for [8192, 3])
+            row = (tile * tile_b + k) * 3
+            oy8 = pl.multiple_of(sidx_ref[row + 1], 8)
+            ox128 = pl.multiple_of(sidx_ref[row + 2], 128)
+            src = frames_ref.at[
+                sidx_ref[row], pl.ds(oy8, R), pl.ds(ox128, Wb)
+            ]
+            return pltpu.make_async_copy(
+                src, blk_scratch.at[slot, k], sems.at[slot, k]
+            )
+
+        @pl.when(i == 0)
+        def _():
+            for k in range(tile_b):
+                dma(k, 0, 0).start()
+
+        @pl.when(i + 1 < nt)
+        def _():
+            for k in range(tile_b):
+                dma(k, i + 1, (i + 1) % 2).start()
+
+        for k in range(tile_b):
+            dma(k, i, i % 2).wait()
+
+        # wait must use a slot-static ref: read both, select by parity
+        blk = jnp.where(
+            (i % 2 == 0),
+            blk_scratch[0], blk_scratch[1],
+        )                                         # [TB, R, Wb]
+
+        # one-hot selection tensors from the sub-block offsets (dy, dx);
+        # Mosaic iota is integer-only, so select in int32 and cast
+        dy = sub_ref[0:1, :].T[:, :, None].astype(jnp.int32)  # [TB,1,1]
+        dx = sub_ref[1:2, :].T[:, :, None].astype(jnp.int32)
+        io_r = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wy, R), 1)
+        io_y = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wy, R), 2)
+        selY = (io_y == dy + io_r).astype(jnp.float32)   # [TB, wy, R]
+        io_c = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wx, Wb), 1)
+        io_x = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wx, Wb), 2)
+        selX = (io_x == dx + io_c).astype(jnp.float32)   # [TB, wx, Wb]
+
+        tmp = jax.lax.dot_general(
+            selY, blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                         # [TB, wy, Wb]
+        win = jax.lax.dot_general(
+            tmp, selX, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                         # [TB, wy, wx]
+
+        # repack [TB, wy, wx] → [Npix(_pad), TB] row-block by row-block
+        # (Mosaic cannot reshape across unaligned trailing dims); chunks
+        # then slice the scratch ref with pl.ds
+        for j in range(wy):
+            pix_scratch[j * wx:(j + 1) * wx, :] = win[:, j, :].T
+        if Npix_pad > Npix:
+            pix_scratch[Npix:, :] = jnp.zeros(
+                (Npix_pad - Npix, tile_b), jnp.float32
+            )
+        kernel_impl(
+            lambda c0: pix_scratch[pl.ds(c0, CL), :],
+            vect_ref, cp_ref, pos_ref, org_ref, aux_ref,
+            xout_ref, stats_ref,
+        )
+
     def solve(vect0, const_params, pixels, pos_at, origin, norm, valid):
         B = vect0.shape[0]
         Bpad = max(tile_b, -(-B // tile_b) * tile_b)
@@ -572,4 +682,120 @@ def make_pallas_lm(
             npix=stats[4, :B],
         )
 
+    def solve_fused(vect0, const_params, frames, frame_idx, pos_at,
+                    origin, norm, valid):
+        """Fused-gather entry: windows are DMA'd from ``frames`` in HBM
+        inside the kernel — no [B, Npix] pixel array ever exists.
+
+        frames [T, *S] f32; frame_idx [B] i32; origin [B, D] i32 (already
+        clamped so every window is in bounds)."""
+        B = vect0.shape[0]
+        Bpad = max(tile_b, -(-B // tile_b) * tile_b)
+        pad = Bpad - B
+
+        def padB(a, fill=None):
+            if pad == 0:
+                return a
+            if fill is None:
+                rep = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
+            else:
+                rep = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([a, rep], axis=0)
+
+        vT = padB(vect0).T
+        cpT = padB(const_params).reshape(Bpad, n * P).T
+        posT = padB(pos_at).reshape(Bpad, n * D).T
+        orgT = padB(origin).astype(jnp.float32).T
+        aux = jnp.stack(
+            [padB(norm), padB(valid, fill=False).astype(norm.dtype)],
+            axis=0,
+        )
+        # Aligned DMA block corners (edge-clamped) + sub-block offsets.
+        # Pad lanes point at frame 0, corner 0 (a valid, inert window).
+        H, W = frames.shape[1], frames.shape[2]
+        org_p = padB(origin, fill=0)
+        oy8 = jnp.minimum((org_p[:, 0] // 8) * 8, H - _R_BLK)
+        ox128 = jnp.minimum((org_p[:, 1] // 128) * 128, W - _W_BLK)
+        sidx = jnp.stack(
+            [padB(frame_idx, fill=0), oy8, ox128], axis=1
+        ).astype(jnp.int32).reshape(-1)
+        sub = jnp.stack(
+            [(org_p[:, 0] - oy8).astype(jnp.float32),
+             (org_p[:, 1] - ox128).astype(jnp.float32)],
+            axis=0,
+        )                                         # [2, Bpad]
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        grid = (Bpad // tile_b,)
+
+        def spec(rows):
+            return pl.BlockSpec(
+                (rows, tile_b), lambda i, s: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # frames stay in HBM
+                spec(V), spec(n * P), spec(n * D), spec(D), spec(2),
+                spec(2),
+            ],
+            out_specs=[spec(V), spec(8)],
+            scratch_shapes=[
+                pltpu.VMEM((2, tile_b, _R_BLK, _W_BLK), jnp.float32),
+                pltpu.VMEM((Npix_pad, tile_b), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, tile_b)),
+            ],
+        )
+        xT, stats = pl.pallas_call(
+            kernel_fused,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((V, Bpad), jnp.float32),
+                jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(sidx, frames.astype(jnp.float32), vT, cpT, posT, orgT, sub, aux)
+
+        return LMResult(
+            x=xT.T[:B],
+            cost=stats[0, :B],
+            n_iter=stats[1, :B].astype(jnp.int32),
+            converged=stats[2, :B] > 0.5,
+            npix=stats[4, :B],
+        )
+
+    # Fused-gather eligibility: 2D windows; frame dims must admit the
+    # aligned superset blocks (H%8==0, W%128==0, frame >= block) so the
+    # edge-clamped DMA corners stay provably aligned; double-buffered
+    # block scratch must fit VMEM alongside the LM working set.
+    fused_ok = (
+        len(window_shape) == 2
+        and _R_BLK > 0
+        and 2 * tile_b * _R_BLK * _W_BLK * 4 <= 7_000_000
+    )
+    if fused_ok and frame_shape is not None:
+        H, W = frame_shape
+        fused_ok = (
+            H % 8 == 0 and W % 128 == 0
+            and H >= _R_BLK and W >= _W_BLK
+        )
+    elif frame_shape is None:
+        fused_ok = False
+    if fused_gather is None:
+        fused_gather = fused_ok
+    elif fused_gather and not fused_ok:
+        raise ValueError(
+            f"fused gather unavailable for window {window_shape} / "
+            f"frame {frame_shape} (needs 2D window, H%8==0, W%128==0, "
+            "frame >= DMA block, VMEM budget)"
+        )
+    if fused_gather:
+        solve_fused.fused_gather = True
+        return solve_fused
+    solve.fused_gather = False
     return solve

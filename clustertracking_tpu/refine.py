@@ -182,22 +182,37 @@ def _bucket_solver(
             return jnp.concatenate([pose, v], axis=1)
         return v
 
+    def _lane_jac(residual_fn):
+        """AD Jacobian per LANE: vmap(jacfwd(per-lane residual)).
+
+        jacfwd over the full batched residual builds a [B, Npix, B, Vc]
+        intermediate before the lane-diagonal einsum — 271 GB at B=4096
+        (measured OOM); per-lane jacfwd keeps it [B, Npix, Vc]."""
+
+        def one(v, pr, px, mk, org, nm):
+            return residual_fn(
+                v[None], pr[None], px[None], mk[None], org[None],
+                nm[None],
+            )[0]
+
+        jac_one = jax.jacfwd(one, argnums=0)
+
+        def residual_jac(vect, params_ref, pixels, mask, origin, norm):
+            r = residual_fn(vect, params_ref, pixels, mask, origin, norm)
+            J = jax.vmap(jac_one)(
+                vect, params_ref, pixels, mask, origin, norm
+            )                                   # [B, Npix(+pen), Vc]
+            return r, jnp.swapaxes(J, 1, 2)     # slot-major [B, Vc, Npix]
+
+        return residual_jac
+
     if rigid:
         def residual(vect, params_ref, pixels, mask, origin, norm):
             params = params_of(vect, params_ref)
             img = fns.image_from_params(params, origin)
             return (img - pixels) * mask / norm[:, None]
 
-        def residual_jac(vect, params_ref, pixels, mask, origin, norm):
-            r = residual(vect, params_ref, pixels, mask, origin, norm)
-            J = jax.jacfwd(
-                lambda v: residual(v, params_ref, pixels, mask, origin,
-                                   norm)
-            )(vect)
-            # jacfwd over batched fn yields [B, Npix, B, Vc]; take the
-            # lane diagonal and put pixels last (slot-major J)
-            J = jnp.einsum("bnbv->bvn", J)
-            return r, J
+        residual_jac = _lane_jac(residual)
     elif generic:
         con_fun = jax.vmap(constraint.fun)
 
@@ -207,14 +222,7 @@ def _bucket_solver(
             pen = pen_w * con_fun(pos)
             return jnp.concatenate([r, pen.reshape(r.shape[0], -1)], 1)
 
-        def residual_jac(vect, params_ref, pixels, mask, origin, norm):
-            r = residual(vect, params_ref, pixels, mask, origin, norm)
-            J = jax.jacfwd(
-                lambda v: residual(v, params_ref, pixels, mask, origin,
-                                   norm)
-            )(vect)
-            J = jnp.einsum("bnbv->bvn", J)
-            return r, J
+        residual_jac = _lane_jac(residual)
     else:
         residual = fns.residual
         residual_jac = fns.residual_jac
@@ -300,14 +308,21 @@ def _bucket_solver(
             pallas_solve = make_pallas_lm(
                 model, layout, window_shape, lo_np, hi_np, radius,
                 max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
+                frame_shape=frame_shape,
             )
 
-        def gather(vect, params_ref, with_mask=True):
+        fused = use_pallas and getattr(pallas_solve, "fused_gather", False)
+
+        def gather(vect, params_ref, with_mask=True, with_pixels=True):
             pos = positions_of(vect, params_ref)
             origin = origins_for(pos, window_shape, frame_shape)
-            pixels = _gather_stack(frames, frame_idx, origin, window_shape)
-            # the pallas kernel computes the fit mask itself (from pos +
-            # origin) — the [B, Npix] mask is only built for XLA solves
+            # fused-gather pallas kernels DMA their own windows from the
+            # frame stack in HBM — no [B, Npix] pixel array is built; the
+            # [B, Npix] mask likewise only exists for XLA solves
+            pixels = (
+                _gather_stack(frames, frame_idx, origin, window_shape)
+                if with_pixels else None
+            )
             mask = (
                 radius_mask(pos, origin, window_shape, radius)
                 if with_mask else None
@@ -321,7 +336,9 @@ def _bucket_solver(
         def outer_body(state):
             it, vect, need, rms, conv, iters = state
             pixels, mask, origin, pos_at = gather(
-                vect, params0, with_mask=not use_pallas
+                vect, params0,
+                with_mask=not use_pallas,
+                with_pixels=not fused,
             )
             if use_global:
                 args = (params0, pixels, mask, origin, norm)
@@ -329,6 +346,11 @@ def _bucket_solver(
                     residual, residual_jac, vect, tuple(gslots), args,
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
                     lower=lo_b, upper=hi_b, valid=need,
+                )
+            elif fused:
+                res = pallas_solve(
+                    vect, params0, frames, frame_idx, pos_at, origin,
+                    norm, need
                 )
             elif use_pallas:
                 res = pallas_solve(
@@ -390,10 +412,12 @@ def _bucket_solver(
                 # pose→positions map (G = ∂pos/∂vect), so constrained fits
                 # report per-coordinate position stderr like the reference's
                 # SLSQP covariance would.
-                G = jax.jacfwd(
-                    lambda v: positions_of(v, params0)
-                )(vect)                       # [B, n, D, B, Vc]
-                G = jnp.einsum("bndbv->bndv", G)
+                G = jax.vmap(
+                    jax.jacfwd(
+                        lambda v, pr: positions_of(v[None], pr[None])[0],
+                        argnums=0,
+                    )
+                )(vect, params0)              # [B, n, D, Vc] (per lane)
                 var_pos = jnp.einsum(
                     "bndu,buv,bndv->bnd", G, cov, G,
                     precision=jax.lax.Precision.HIGHEST,

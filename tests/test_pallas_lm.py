@@ -85,7 +85,7 @@ def _solve_both(model, layout, fns, frames, fidx, params0, valid,
     )
     psolve = make_pallas_lm(
         model, layout, WINDOW, lo, hi, radius, max_iter=MAX_IT,
-        interpret=True,
+        interpret=True, fused_gather=False,
     )
     res_pal = psolve(vect0, params0, pixels, pos0, origin, norm, valid)
     # the kernel's in-kernel mask must match radius_mask pixel-for-pixel
@@ -181,7 +181,7 @@ def test_pallas_multichunk_matches_singlechunk():
 
     psolve = make_pallas_lm(
         model, layout, WINDOW, lo, hi, (3.0, 3.0), max_iter=MAX_IT,
-        interpret=True, chunk_len=24,
+        interpret=True, chunk_len=24, fused_gather=False,
     )
     res_multi = psolve(vect0, params0, pixels, pos0, origin, norm, valid)
     np.testing.assert_allclose(
@@ -190,4 +190,50 @@ def test_pallas_multichunk_matches_singlechunk():
     )
     np.testing.assert_array_equal(
         np.asarray(res_multi.n_iter), np.asarray(res_single.n_iter)
+    )
+
+
+def test_pallas_fused_gather_matches():
+    """The DMA-gather kernel (aligned window-superset blocks pulled from
+    HBM inside the kernel, exact window extracted by one-hot matmuls)
+    must agree with the pixel-input kernel exactly."""
+    model, layout, fns, arrs, valid = _problem("gauss", 2)
+    frames, fidx, params0 = arrs
+    # fused gather needs W % 128 == 0: pad frame width (content unchanged)
+    frames = jnp.asarray(np.pad(np.asarray(frames), ((0, 0), (0, 0),
+                                                     (0, 64))))
+    res_xla, res_pix = _solve_both(
+        model, layout, fns, frames, fidx, params0, valid
+    )
+    pos0 = params0[..., list(layout.pos_param_idx)]
+    frame_shape = frames.shape[1:]
+    origin = origins_for(pos0, WINDOW, frame_shape)
+    norm = jnp.maximum(
+        jnp.max(jnp.abs(params0[..., layout.signal_param_idx]), axis=1),
+        1e-6,
+    )
+    vect0 = layout.vect_from_params(params0)
+    V = layout.n_slots
+    lo = np.full(V, -np.inf, np.float32)
+    hi = np.full(V, np.inf, np.float32)
+    for d, p in enumerate(layout.pos_param_idx):
+        for s in layout.slot_idx[:, p]:
+            if s >= 0:
+                lo[s] = 0.0
+                hi[s] = float(frame_shape[d] - 1)
+    psolve = make_pallas_lm(
+        model, layout, WINDOW, lo, hi, (3.0, 3.0), max_iter=MAX_IT,
+        interpret=True, fused_gather=True, frame_shape=frame_shape,
+    )
+    assert psolve.fused_gather
+    res_fused = psolve(vect0, params0, frames, fidx, pos0, origin, norm,
+                       valid)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.x), np.asarray(res_pix.x), rtol=0, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_fused.n_iter), np.asarray(res_pix.n_iter)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_fused.npix), np.asarray(res_pix.npix)
     )
