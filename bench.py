@@ -47,12 +47,16 @@ def main():
         f"benchmark fits are bad: mean rms {rms.mean()}"
     )
 
-    # Honest timing on the axon tunnel: repeated dispatch of IDENTICAL
-    # inputs can be short-circuited by the runtime, so every rep gets its
-    # own perturbed initial-guess batch (pre-staged on device), all reps
-    # are queued back-to-back, and the clock stops only after every
-    # output is materialized.
-    reps = 6
+    # Honest timing on the axon tunnel:
+    # - repeated dispatch of IDENTICAL inputs can be short-circuited by
+    #   the runtime, so every rep gets its own perturbed initial-guess
+    #   batch (pre-staged on device);
+    # - block_until_ready can return BEFORE execution here (measured), so
+    #   the timed region ends with a device->host fetch of the LAST rep's
+    #   output — the device stream is FIFO, so that fences every rep;
+    # - one fetch (not per-rep) so the ~27 ms tunnel round-trip (measured
+    #   dispatch+fetch floor for a trivial op) amortizes over the reps.
+    reps = 12
     rng = np.random.default_rng(1)
     p_reps = [
         args[2] + jnp.asarray(
@@ -61,13 +65,13 @@ def main():
         for _ in range(reps)
     ]
     jax.block_until_ready(p_reps)
-    outs = [solver(args[0], args[1], p_reps[0], args[3], args[4])]
-    jax.block_until_ready(outs)  # extra warmup on the varied-input path
+    out = solver(args[0], args[1], p_reps[0], args[3], args[4])
+    np.asarray(out[1])  # extra warmup on the varied-input path
     t0 = time.perf_counter()
     outs = [
         solver(args[0], args[1], p, args[3], args[4]) for p in p_reps
     ]
-    jax.block_until_ready(outs)
+    last = np.asarray(outs[-1][1])
     dt = time.perf_counter() - t0
     tpu_rate = B * reps / dt
     for o in outs:

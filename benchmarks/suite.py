@@ -33,14 +33,20 @@ def _emit(rec):
 
 
 def _timed_reps(solver, args_list):
-    """Queue all reps (distinct inputs), block on all outputs."""
+    """Queue all reps (distinct inputs), then FETCH the last rep's output
+    inside the timed region.  block_until_ready alone is not trustworthy
+    on the axon tunnel (measured returning before execution — a 32M
+    solves/s mirage); the device stream is FIFO, so one device->host read
+    of the final result fences every rep while amortizing the ~27 ms
+    tunnel round-trip (the measured dispatch+fetch floor of a trivial
+    op) across the reps."""
     import jax
 
     out = solver(*args_list[0])
-    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[1])
     t0 = time.perf_counter()
     outs = [solver(*a) for a in args_list]
-    jax.block_until_ready(outs)
+    np.asarray(jax.tree_util.tree_leaves(outs[-1])[1])
     return time.perf_counter() - t0, outs
 
 

@@ -76,6 +76,15 @@ def cluster_trajectories(
             row[c] = v
         if ndim == 2 and len(grp) > 1:
             row["angle"] = orientation(pos)
+        elif ndim == 3 and len(grp) > 1:
+            # 3D orientation: unit vector center -> member 0 (the body
+            # axis); rotational diffusion comes from its autocorrelation
+            u = pos[0] - center
+            nrm = np.linalg.norm(u)
+            if nrm > 1e-12:
+                u = u / nrm
+            for c, v in zip(("u_z", "u_y", "u_x"), u):
+                row[c] = v
         rows.append(row)
     out = pd.DataFrame(rows)
     # stable cluster-trajectory id from the member tuple
@@ -190,8 +199,39 @@ def diffusion_constants(
     d_trans = slope / (2.0 * ndim)
 
     d_rot = np.nan
-    if "angle" in traj.columns and traj["angle"].notna().any():
-        ang = traj.copy()
+    if ndim == 3 and "u_z" in traj.columns:
+        # 3D: <u(t)·u(t+τ)> = exp(-2 D_r τ)  (rotational decorrelation of
+        # a body axis); estimate from lag-resolved direction correlations
+        num = {lag: [] for lag in range(1, max_lagtime + 1)}
+        for cid, grp in traj.groupby("cluster_traj", sort=False):
+            grp = grp.sort_values(t_column)
+            t = grp[t_column].to_numpy()
+            u = grp[["u_z", "u_y", "u_x"]].to_numpy(dtype=float)
+            ok = np.isfinite(u).all(axis=1)
+            index = {int(ti): i for i, ti in enumerate(t)}
+            for lag in num:
+                for ti, i in index.items():
+                    j = index.get(ti + lag)
+                    if j is not None and ok[i] and ok[j]:
+                        num[lag].append(float(u[i] @ u[j]))
+        lags, logs, ws = [], [], []
+        for lag, vals in num.items():
+            if vals:
+                c = float(np.mean(vals))
+                if c > 1e-6:
+                    lags.append(lag / fps)
+                    logs.append(-np.log(c))
+                    ws.append(len(vals))
+        if lags:
+            lags = np.asarray(lags)
+            logs = np.asarray(logs)
+            ws = np.asarray(ws, dtype=float)
+            slope = np.sum(ws * lags * logs) / np.sum(ws * lags * lags)
+            d_rot = slope / 2.0
+    elif "angle" in traj.columns and traj["angle"].notna().any():
+        # single-member clusters carry no orientation — drop their NaN
+        # rows or they poison every MSD sum they appear in
+        ang = traj[traj["angle"].notna()].copy()
         ang["angle_unwrapped"] = np.nan
         for cid, grp in ang.groupby("cluster_traj", sort=False):
             order = grp.sort_values(t_column).index

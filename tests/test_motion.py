@@ -75,3 +75,49 @@ def test_msd_linear_in_lag():
     m = motion.msd(traj, ["y", "x"], max_lagtime=5)
     slopes = m["msd"] / m["lagt"]
     assert slopes.std() / slopes.mean() < 0.2  # roughly linear
+
+
+def _brownian_dimer_3d(D_trans=0.05, D_rot=0.01, T=600, sep=5.0, seed=2):
+    """Rigid 3D dimer: center diffuses, body axis random-walks on the
+    sphere with rotational diffusion D_rot (unit timestep)."""
+    rng = np.random.default_rng(seed)
+    center = np.array([40.0, 40.0, 40.0])
+    u = np.array([0.0, 0.0, 1.0])
+    rows = []
+    for t in range(T):
+        for i, s in enumerate((+1, -1)):
+            p = center + s * (sep / 2) * u
+            rows.append({"frame": t, "z": p[0], "y": p[1], "x": p[2],
+                         "cluster": 0, "particle": i})
+        center = center + rng.normal(0, np.sqrt(2 * D_trans), 3)
+        # rotate u by a small random angle about a random perpendicular
+        # axis: variance of the angular step = 2*(2*D_rot) for a sphere
+        # (two rotational degrees of freedom)
+        w = rng.normal(0, np.sqrt(2 * D_rot), 3)
+        w = w - (w @ u) * u  # perpendicular component only
+        angle = np.linalg.norm(w)
+        if angle > 1e-12:
+            axis = w / angle
+            u = (u * np.cos(angle)
+                 + np.cross(axis, u) * np.sin(angle))
+            u = u / np.linalg.norm(u)
+    return pd.DataFrame(rows)
+
+
+def test_recover_diffusion_constants_3d():
+    D_trans, D_rot = 0.05, 0.01
+    f = _brownian_dimer_3d(D_trans, D_rot, T=800)
+    est = motion.diffusion_constants(f, max_lagtime=4)
+    assert est["D_trans"] == pytest.approx(D_trans, rel=0.3)
+    # <u(t)·u(t+τ)> = exp(-2 D_r τ) estimator
+    assert est["D_rot"] == pytest.approx(D_rot, rel=0.35)
+
+
+def test_cluster_trajectories_3d_orientation_columns():
+    f = _brownian_dimer_3d(T=5)
+    traj = motion.cluster_trajectories(f)
+    assert {"u_z", "u_y", "u_x"} <= set(traj.columns)
+    norms = np.linalg.norm(
+        traj[["u_z", "u_y", "u_x"]].to_numpy(dtype=float), axis=1
+    )
+    np.testing.assert_allclose(norms, 1.0, atol=1e-9)
