@@ -140,7 +140,22 @@ def _video(n_frames, features_per_frame, shape, separation_px, seed=0):
                              "signal": 150.0})
     f = pd.DataFrame(rows)
     reader = CoordinateReader(f, shape, size=1.6, noise_level=2.0)
-    return reader, f
+
+    # pre-render: CoordinateReader rasterizes on every access, which
+    # would bill synthetic-data drawing to the pipeline (each frame is
+    # read twice per track() run — locate + refine)
+    class StackReader:
+        def __init__(self, stack):
+            self.stack = stack
+
+        def __getitem__(self, t):
+            return self.stack[t]
+
+        def __len__(self):
+            return len(self.stack)
+
+    stack = np.stack([reader[t] for t in range(n_frames)])
+    return StackReader(stack.astype(np.float32)), f
 
 
 def config2(n_frames=100, reps=1):
@@ -148,12 +163,12 @@ def config2(n_frames=100, reps=1):
     import clustertracking_tpu as ct
 
     reader, truth = _video(n_frames, 100, (512, 512), 5.0)
+    kw = dict(diameter=9, separation=5, search_range=3.0, memory=2,
+              link_backend="device")
+    ct.track(reader, **kw)  # warm run: pays all jit compiles
     with ct.diagnostics.collect() as stats:
         t0 = time.perf_counter()
-        out = ct.track(
-            reader, diameter=9, separation=5, search_range=3.0,
-            link_backend="device",
-        )
+        out = ct.track(reader, **kw)
         dt = time.perf_counter() - t0
     n_traj = out["particle"].nunique()
     _emit({
@@ -299,12 +314,12 @@ def config5(n_frames=4, features_per_frame=10000):
     reader, truth = _video(
         n_frames, features_per_frame, (1024, 1024), 5.0, seed=5
     )
+    kw = dict(diameter=9, separation=5, search_range=3.0, memory=2,
+              link_backend="device", max_features=16384)
+    ct.track(reader, **kw)  # warm run: pays all jit compiles
     with ct.diagnostics.collect() as stats:
         t0 = time.perf_counter()
-        out = ct.track(
-            reader, diameter=9, separation=5, search_range=3.0,
-            link_backend="device", max_features=16384,
-        )
+        out = ct.track(reader, **kw)
         dt = time.perf_counter() - t0
     s = stats.summary()
     _emit({

@@ -62,8 +62,28 @@ def local_maxima(
         -jnp.inf,
     )
     is_max = cand & (neg_idx >= dilate(neg_idx))
-    response = jnp.where(is_max, image, -jnp.inf).reshape(-1)
-    vals, flat_idx = jax.lax.top_k(response, max_features)
+
+    # Compact candidates to the fixed-size output WITHOUT a full-image
+    # sort (lax.top_k over the whole frame is a device sort — seconds per
+    # 512² frame on TPU): O(N) cumsum scatter into max_features slots,
+    # then sort only the compacted list so the brightest-first contract
+    # (and its lowest-flat-index tie-break) is preserved.
+    flags = is_max.reshape(-1)
+    rank = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    dest = jnp.where(
+        flags & (rank < max_features), rank, max_features
+    )
+    vals_c = jnp.full((max_features + 1,), -jnp.inf, jnp.float32)
+    vals_c = vals_c.at[dest].set(img.reshape(-1), mode="drop")[:-1]
+    idx_c = jnp.zeros((max_features + 1,), jnp.int32)
+    idx_c = idx_c.at[dest].set(
+        jnp.arange(n_total, dtype=jnp.int32), mode="drop"
+    )[:-1]
+    # brightest first; ties broken toward the lower flat index (stable
+    # sort over the raster-ordered compacted list)
+    order = jnp.argsort(-vals_c, stable=True)
+    vals = vals_c[order]
+    flat_idx = idx_c[order]
     coords = jnp.stack(
         jnp.unravel_index(flat_idx, image.shape), axis=-1
     ).astype(jnp.int32)

@@ -118,16 +118,10 @@ def track(
         locate_separation = tuple(
             max(2, int(round(s / 2))) for s in validate_tuple(sep0, ndim0)
         )
-    frames_f = []
-    for t in range(n_frames):
-        image = np.asarray(reader[t])
-        f_t = locate(
-            image, diameter, locate_separation, threshold=threshold,
-            percentile=percentile, max_features=max_features,
-        )
-        f_t[t_column] = t
-        frames_f.append(f_t)
-    f = pd.concat(frames_f, ignore_index=True)
+    f = _locate_frames(
+        reader, range(n_frames), diameter, locate_separation, threshold,
+        percentile, max_features, t_column,
+    )
 
     ndim = len(default_pos_columns(np.asarray(reader[0]).ndim))
     sep = separation if separation is not None else diameter
@@ -143,6 +137,75 @@ def track(
         f, search_range, memory=memory, t_column=t_column,
         backend=link_backend,
     )
+
+
+def _locate_frames(
+    reader, frame_numbers, diameter, locate_separation, threshold,
+    percentile, max_features, t_column, stack_chunk: int = 64,
+):
+    """Candidate features for many frames with ONE device dispatch per
+    ``stack_chunk`` frames (vmapped local_maxima over the frame stack).
+
+    Per-frame locate dispatches pay the full host↔device round-trip each
+    (~27 ms on the axon tunnel — RTT-dominated at 100 frames); batching
+    cuts that by ~stack_chunk×.  Frames of differing shapes fall back to
+    the per-frame path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.locate import local_maxima
+
+    frame_numbers = list(frame_numbers)
+    out = []
+    i = 0
+    while i < len(frame_numbers):
+        chunk = frame_numbers[i:i + stack_chunk]
+        images = [np.asarray(reader[t]) for t in chunk]
+        if len({im.shape for im in images}) != 1:
+            for t, im in zip(chunk, images):
+                f_t = locate(
+                    im, diameter, locate_separation, threshold=threshold,
+                    percentile=percentile, max_features=max_features,
+                )
+                f_t[t_column] = t
+                out.append(f_t)
+            i += stack_chunk
+            continue
+        stack = np.stack(images).astype(np.float32)
+        T = len(chunk)
+        flat = stack.reshape(T, -1)
+        if threshold is None:
+            med = np.median(flat, axis=1)
+            mad = np.median(np.abs(flat - med[:, None]), axis=1)
+            pct = np.percentile(flat, percentile, axis=1)
+            thr = np.maximum(
+                pct, med + 6.0 * 1.4826 * mad
+            ).astype(np.float32)
+        else:
+            thr = np.full(T, threshold, np.float32)
+        sep = tuple(int(round(s)) for s in locate_separation)
+
+        coords, vals, valid = jax.jit(
+            jax.vmap(
+                lambda im, th: local_maxima(im, sep, max_features, th)
+            )
+        )(jnp.asarray(stack), jnp.asarray(thr))
+        coords = np.asarray(coords)
+        vals = np.asarray(vals)
+        valid = np.asarray(valid)
+        ndim = stack.ndim - 1
+        pos_columns = default_pos_columns(ndim)
+        for j, t in enumerate(chunk):
+            ok = valid[j]
+            f_t = pd.DataFrame(
+                coords[j][ok].astype(float), columns=pos_columns
+            )
+            f_t["signal"] = vals[j][ok]
+            f_t[t_column] = t
+            out.append(f_t)
+        i += stack_chunk
+    return pd.concat(out, ignore_index=True)
 
 
 def _track_checkpointed(
@@ -196,16 +259,10 @@ def _track_checkpointed(
         chunk = range(
             chunk_start, min(chunk_start + checkpoint_every, n_frames)
         )
-        frames_f = []
-        for t in chunk:
-            f_t = locate(
-                np.asarray(reader[t]), diameter, locate_separation,
-                threshold=threshold, percentile=percentile,
-                max_features=max_features,
-            )
-            f_t[t_column] = t
-            frames_f.append(f_t)
-        f = pd.concat(frames_f, ignore_index=True)
+        f = _locate_frames(
+            reader, chunk, diameter, locate_separation, threshold,
+            percentile, max_features, t_column,
+        )
         if len(f):
             f = find_clusters(
                 f, sep0, t_column=t_column, backend=find_backend

@@ -482,7 +482,10 @@ def refine_leastsq(
     max_rms_dev: float = 1.0,
     residual_factor: float = 1e5,
     max_cluster_size: int = 8,
-    frames_per_dispatch: int = 8,
+    # larger dispatch chunks amortize per-dispatch host/tunnel latency
+    # and fill more lockstep lanes (each dispatch costs ~27 ms RTT on
+    # the axon tunnel regardless of batch size)
+    frames_per_dispatch: int = 32,
     lm_max_iter: int = 60,
     ftol: float = 1.49e-8,
     xtol: float = 1.49e-8,
@@ -572,6 +575,46 @@ def refine_leastsq(
                 p[:, 2 + ndim + n_size + j] = model.default[name]
         return p
 
+    def initial_params_bulk(rows, images):
+        """initial_params for a whole (cluster-sorted) bucket at once;
+        the image-sampling signal fallback loops frames, not clusters."""
+        k = len(rows)
+        p = np.zeros((k, P))
+        p[:, 0] = param_val.get(
+            "background",
+            rows["background"].to_numpy() if "background" in rows
+            else 0.0,
+        )
+        pos = rows[pos_columns].to_numpy(dtype=float)
+        p[:, 2 : 2 + ndim] = pos
+        if "signal" in rows:
+            p[:, 1] = rows["signal"].to_numpy(dtype=float)
+        else:
+            tarr = rows[t_column].to_numpy()
+            for t in np.unique(tarr):
+                m = tarr == t
+                image = images[int(t)]
+                ipos = np.clip(
+                    np.round(pos[m]).astype(int), 0,
+                    np.asarray(image.shape) - 1,
+                )
+                p[m, 1] = image[tuple(ipos.T)] - p[m, 0]
+        for j, c in enumerate(size_cols):
+            if c in rows:
+                p[:, 2 + ndim + j] = rows[c].to_numpy(dtype=float)
+            else:
+                p[:, 2 + ndim + j] = default_size[j]
+        for j, name in enumerate(extra_names):
+            if name in param_val:
+                p[:, 2 + ndim + n_size + j] = param_val[name]
+            elif name in rows:
+                p[:, 2 + ndim + n_size + j] = rows[name].to_numpy(
+                    dtype=float
+                )
+            else:
+                p[:, 2 + ndim + n_size + j] = model.default[name]
+        return p
+
     param_mode_key = tuple(sorted((param_mode or {}).items()))
     bounds_key = tuple(
         sorted((k, float(v[0]), float(v[1])) for k, v in
@@ -579,13 +622,20 @@ def refine_leastsq(
     )
 
     out = f.copy()
-    # refined values are written as float64; coerce any narrower existing
-    # parameter columns (e.g. float32 'signal' from locate()) up front so
-    # pandas doesn't reject the upcast on assignment
+    # Column write buffers: refined values accumulate in flat numpy
+    # arrays and are assigned to the DataFrame ONCE at the end — per-row
+    # .loc writes cost ~1 ms each in pandas and dominated the host time
+    # at ~10⁴ clusters (measured ~30 s per 100-frame video).
+    param_bufs = {}
     for name in param_names:
-        if name in out.columns and out[name].dtype != np.float64:
-            out[name] = out[name].astype(np.float64)
-    out["cost"] = np.nan
+        if name in out.columns:
+            param_bufs[name] = out[name].to_numpy(dtype=np.float64).copy()
+        else:
+            param_bufs[name] = np.full(len(out), np.nan)
+    cost_buf = np.full(len(out), np.nan)
+    conv_buf = np.zeros(len(out), dtype=bool)
+    iter_buf = np.zeros(len(out), dtype=np.int64)
+    row_pos = pd.Series(np.arange(len(out)), index=out.index)
     std_cols = {}
     if compute_error:
         for name in param_names:
@@ -604,32 +654,38 @@ def refine_leastsq(
         frame_local = {int(t): i for i, t in enumerate(chunk)}
         sub = f[f[t_column].isin(chunk)]
 
-        # group clusters by size
+        # group clusters by size; within a bucket, sorting by cluster id
+        # makes every cluster a contiguous n-row block, so the whole
+        # bucket assembles with vectorized numpy (per-cluster DataFrame
+        # filtering is O(B²) pandas and dominated host time at 10⁴
+        # clusters)
         for n, grp in sub.groupby("cluster_size"):
             n = int(n)
-            cluster_ids = grp["cluster"].unique()
-            row_groups = [
-                grp[grp["cluster"] == cid] for cid in cluster_ids
-            ]
+            grp = grp.sort_values("cluster", kind="stable")
             if n > max_cluster_size:
+                row_groups = [
+                    g for _, g in grp.groupby("cluster", sort=False)
+                ]
                 _spill_scipy(
-                    out, row_groups, images, model, ndim, isotropic,
-                    radius, separation, param_names, pos_columns,
-                    size_cols, initial_params, t_column, max_iter,
-                    max_shift, max_rms_dev, param_mode_key,
+                    param_bufs, cost_buf, row_pos, row_groups, images,
+                    model, ndim, isotropic, radius, separation,
+                    param_names, pos_columns, size_cols, initial_params,
+                    t_column, max_iter, max_shift, max_rms_dev,
+                    param_mode_key,
                 )
                 continue
 
-            B = len(row_groups)
+            B = len(grp) // n
             Bpad = max(_LANE_PAD, int(np.ceil(B / _LANE_PAD)) * _LANE_PAD)
+            flat = initial_params_bulk(grp, images)     # [B*n, P]
             params0 = np.zeros((Bpad, n, P), dtype=np.float32)
+            params0[:B] = flat.reshape(B, n, P)
+            tcol = grp[t_column].to_numpy()[::n]
             fidx = np.zeros(Bpad, dtype=np.int32)
+            fidx[:B] = [frame_local[int(t)] for t in tcol]
             valid = np.zeros(Bpad, dtype=bool)
-            for b, rows in enumerate(row_groups):
-                t = int(rows[t_column].iloc[0])
-                params0[b] = initial_params(rows, images[t])
-                fidx[b] = frame_local[t]
-                valid[b] = True
+            valid[:B] = True
+            pos_mat = row_pos[grp.index].to_numpy().reshape(B, n)
             # pad lanes replicate lane 0 (keeps shapes sane numerically)
             if B < Bpad and B > 0:
                 params0[B:] = params0[0]
@@ -687,22 +743,31 @@ def refine_leastsq(
                 backend=backend_str,
             )
 
-            for b, rows in enumerate(row_groups):
-                ok = rms[b] <= max_rms_dev and np.isfinite(rms[b])
-                idx = rows.index
-                if ok:
+            # vectorized writeback across the whole bucket
+            rmsB, convB, itB = rms[:B], conv[:B], iters[:B]
+            flat_pos = pos_mat.ravel()
+            # first-class failure flags (SURVEY.md §5): solver convergence
+            # and iteration count per feature, accepted or not
+            conv_buf[flat_pos] = np.repeat(convB, n)
+            iter_buf[flat_pos] = np.repeat(itB, n)
+            ok_l = (rmsB <= max_rms_dev) & np.isfinite(rmsB)
+            if ok_l.any():
+                okpos = pos_mat[ok_l].ravel()
+                pf = params_fit[:B][ok_l]               # [Bok, n, P]
+                for j, name in enumerate(param_names):
+                    param_bufs[name][okpos] = pf[:, :, j].ravel()
+                cost_buf[okpos] = np.repeat(rmsB[ok_l], n)
+                if compute_error:
+                    stdok = std[:B][ok_l]
                     for j, name in enumerate(param_names):
-                        out.loc[idx, name] = params_fit[b, :, j].astype(
-                            float
-                        )
-                    out.loc[idx, "cost"] = float(rms[b])
-                    if compute_error:
-                        for j, name in enumerate(param_names):
-                            std_cols[name][
-                                out.index.get_indexer(idx)
-                            ] = std[b, :, j]
-                # rejected: keep originals, cost stays NaN
+                        std_cols[name][okpos] = stdok[:, :, j].ravel()
+            # rejected: keep originals, cost stays NaN
 
+    for name in param_names:
+        out[name] = param_bufs[name]
+    out["cost"] = cost_buf
+    out["fit_converged"] = conv_buf
+    out["fit_n_iter"] = iter_buf
     if compute_error:
         for name, col in std_cols.items():
             out[name + "_std"] = col
@@ -710,9 +775,10 @@ def refine_leastsq(
 
 
 def _spill_scipy(
-    out, row_groups, images, model, ndim, isotropic, radius, separation,
-    param_names, pos_columns, size_cols, initial_params, t_column,
-    max_iter, max_shift, max_rms_dev, param_mode_key,
+    param_bufs, cost_buf, row_pos, row_groups, images, model, ndim,
+    isotropic, radius, separation, param_names, pos_columns, size_cols,
+    initial_params, t_column, max_iter, max_shift, max_rms_dev,
+    param_mode_key,
 ):
     """Host scipy path for clusters larger than the biggest bucket."""
     from . import diagnostics
@@ -737,9 +803,10 @@ def _spill_scipy(
             norm=norm, max_iter_refit=max_iter, max_shift=max_shift,
         )
         if rms <= max_rms_dev and np.isfinite(rms):
+            pos = row_pos[rows.index].to_numpy()
             for j, name in enumerate(param_names):
-                out.loc[rows.index, name] = params[:, j]
-            out.loc[rows.index, "cost"] = float(rms)
+                param_bufs[name][pos] = params[:, j]
+            cost_buf[pos] = float(rms)
         else:
             n_rej += 1
     if row_groups:

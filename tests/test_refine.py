@@ -243,3 +243,67 @@ def test_window_shape_independence():
         out1[["y", "x"]].to_numpy(), out2[["y", "x"]].to_numpy(),
         atol=2e-3,
     )
+
+
+def test_spill_to_scipy_for_oversized_clusters():
+    """Clusters above max_cluster_size take the host scipy path
+    (refine.py::_spill_scipy) and still produce good fits + stats."""
+    img = np.zeros((96, 160))
+    rng = np.random.default_rng(12)
+    # a 5-chain: transitive merges make one cluster of 5
+    true = []
+    y, x = 48.0, 30.0
+    for k in range(5):
+        p = np.array([y + rng.uniform(-1, 1), x + k * 4.5])
+        artificial.draw_feature(img, p, 2.0, 150.0)
+        true.append(p)
+    true = np.asarray(true)
+    f = pd.DataFrame(true + rng.uniform(-0.25, 0.25, true.shape),
+                     columns=["y", "x"])
+    f["frame"] = 0
+    f["signal"] = 150.0
+
+    import clustertracking_tpu.diagnostics as diagnostics
+
+    with diagnostics.collect() as stats:
+        out = ct.refine_leastsq(
+            f, img, diameter=9, separation=5.5, param_val={"size": 2.0},
+            max_cluster_size=4,  # force the 5-cluster to spill
+        )
+    assert any(b.backend == "scipy" for b in stats.batches)
+    assert out["cost"].notna().all()
+    pos = out[["y", "x"]].to_numpy()
+    assert np.abs(pos - true).max() < 0.05
+
+
+def test_locate_3d():
+    """grey_dilation-based locate on a 3D stack."""
+    img = np.zeros((32, 48, 48), np.float32)
+    spots = np.array([[10.0, 12.0, 30.0], [22.0, 36.0, 14.0]])
+    for p in spots:
+        artificial.draw_feature(img, p, (1.5, 2.0, 2.0), 100.0)
+    f = ct.locate(img, diameter=(5, 7, 7))
+    assert len(f) == 2
+    got = f[["z", "y", "x"]].to_numpy()
+    got = got[np.argsort(got[:, 0])]
+    np.testing.assert_allclose(got, spots, atol=1.0)
+
+
+def test_failure_flag_columns():
+    """refine output carries first-class solver flags (fit_converged,
+    fit_n_iter) even for rejected fits."""
+    img = np.zeros((64, 64))
+    true = artificial.draw_cluster(
+        img, (32, 32), size=3.0, separation=6.0, n=2, signal=200.0
+    )
+    f = pd.DataFrame(true + 0.2, columns=["y", "x"])
+    f["frame"] = 0
+    f["signal"] = 200.0
+    out = ct.refine_leastsq(f, img, diameter=9, param_val={"size": 3.0})
+    assert out["fit_converged"].all()
+    assert (out["fit_n_iter"] > 0).all()
+    rejected = ct.refine_leastsq(
+        f, img, diameter=9, param_val={"size": 3.0}, max_rms_dev=1e-12
+    )
+    assert rejected["cost"].isna().all()
+    assert (rejected["fit_n_iter"] > 0).all()  # flags still present
