@@ -24,7 +24,7 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 import pandas as pd
 
-from .utils import default_pos_columns, default_size_columns, validate_tuple
+from .utils import default_pos_columns, validate_tuple
 
 __all__ = [
     "feat_gauss",

@@ -30,7 +30,6 @@ import contextlib
 import dataclasses
 import logging
 import threading
-import time
 from typing import List, Optional
 
 logger = logging.getLogger("clustertracking_tpu")

@@ -17,11 +17,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from .ops.find import (
-    cluster_sizes,
-    connected_components,
-    host_connected_components,
-)
+from .ops.find import connected_components, host_connected_components
 from .utils import guess_pos_columns, validate_tuple
 
 __all__ = ["find_clusters"]

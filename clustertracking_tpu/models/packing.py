@@ -29,7 +29,7 @@ degenerates to cluster-shared there too.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Sequence
+from typing import Mapping
 
 import jax.numpy as jnp
 import numpy as np

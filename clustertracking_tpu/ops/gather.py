@@ -10,7 +10,6 @@ the chip.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

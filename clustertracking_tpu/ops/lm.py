@@ -20,8 +20,6 @@ ftol/xtol default to 1.49e-8.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

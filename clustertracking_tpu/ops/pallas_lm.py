@@ -32,7 +32,6 @@ scipy.optimize.leastsq in clustertracking/refine.py::refine_leastsq
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -17,7 +17,6 @@ when the lane→frame mapping is block-aligned; v1 replicates.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import math
 import time
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -52,13 +52,12 @@ from .constraints import (
     wrap_constraint_dicts,
 )
 from .find import find_clusters
-from .models.packing import ParamLayout, build_layout
+from .models.packing import build_layout
 from .models.registry import ModelSpec, get_model
-from .ops.gather import clamp_origins, origins_for, radius_mask
+from .ops.gather import origins_for, radius_mask
 from .ops.lm import lm_solve, lm_solve_global
-from .ops.residual import make_model_fns, window_offsets
+from .ops.residual import make_model_fns
 from .utils import (
-    default_pos_columns,
     default_size_columns,
     guess_pos_columns,
     validate_tuple,
