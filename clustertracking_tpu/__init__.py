@@ -17,7 +17,7 @@ from . import models, ops, utils  # noqa: F401
 
 __version__ = "0.1.0"
 
-from .find import find_clusters  # noqa: E402
+from .find import Clusters, find_clusters  # noqa: E402
 from .refine import refine_leastsq, train_leastsq  # noqa: E402
 from .constraints import (  # noqa: E402
     dimer,
@@ -30,6 +30,7 @@ from . import artificial, diagnostics, motion  # noqa: E402
 from .pipeline import locate, track  # noqa: E402
 
 __all__ = [
+    "Clusters",
     "find_clusters",
     "refine_leastsq",
     "train_leastsq",

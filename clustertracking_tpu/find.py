@@ -20,7 +20,64 @@ import pandas as pd
 from .ops.find import connected_components, host_connected_components
 from .utils import guess_pos_columns, validate_tuple
 
-__all__ = ["find_clusters"]
+__all__ = ["Clusters", "find_clusters"]
+
+
+class Clusters:
+    """Union-find bookkeeping over feature indices.
+
+    API parity with clustertracking/find.py::Clusters (SURVEY.md §3.2):
+    start with every index in its own cluster, merge overlapping pairs,
+    read back per-index cluster ids (canonicalized to first appearance)
+    and sizes.
+    """
+
+    def __init__(self, indices):
+        self.indices = list(indices)
+        self._parent = {int(i): int(i) for i in self.indices}
+
+    def _find(self, a: int) -> int:
+        p = self._parent
+        while p[a] != a:
+            p[a] = p[p[a]]
+            a = p[a]
+        return a
+
+    def add_pair(self, a: int, b: int) -> None:
+        """Merge the clusters containing features a and b."""
+        ra, rb = self._find(int(a)), self._find(int(b))
+        if ra != rb:
+            # deterministic: smaller root wins (first-appearance order)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self._parent[hi] = lo
+
+    def add_pairs(self, pairs) -> None:
+        for a, b in pairs:
+            self.add_pair(a, b)
+
+    @property
+    def cluster_id(self) -> dict:
+        """index → consecutive cluster id, in first-appearance order."""
+        out = {}
+        mapping = {}
+        for i in self.indices:
+            r = self._find(int(i))
+            if r not in mapping:
+                mapping[r] = len(mapping)
+            out[int(i)] = mapping[r]
+        return out
+
+    @property
+    def cluster_size(self) -> dict:
+        """index → size of its cluster."""
+        ids = self.cluster_id
+        counts: dict = {}
+        for cid in ids.values():
+            counts[cid] = counts.get(cid, 0) + 1
+        return {i: counts[cid] for i, cid in ids.items()}
+
+    def __len__(self) -> int:
+        return len({self._find(int(i)) for i in self.indices})
 
 
 def _canonicalize(labels: np.ndarray) -> np.ndarray:

@@ -109,3 +109,23 @@ def test_3d():
     f["frame"] = 0
     out = find_clusters(f, separation=3)
     assert out["cluster"].nunique() == 2
+
+
+def test_clusters_container():
+    """Reference-parity Clusters union-find container (find.py::Clusters)."""
+    from clustertracking_tpu import Clusters
+
+    c = Clusters(range(5))
+    assert len(c) == 5
+    c.add_pair(0, 3)
+    c.add_pair(3, 4)  # transitive: {0, 3, 4}
+    c.add_pair(1, 2)
+    assert len(c) == 2
+    ids = c.cluster_id
+    assert ids[0] == ids[3] == ids[4]
+    assert ids[1] == ids[2]
+    assert ids[0] != ids[1]
+    sizes = c.cluster_size
+    assert sizes[0] == 3 and sizes[1] == 2
+    # ids are consecutive, first-appearance ordered
+    assert sorted(set(ids.values())) == [0, 1]

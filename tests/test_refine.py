@@ -307,3 +307,24 @@ def test_failure_flag_columns():
     )
     assert rejected["cost"].isna().all()
     assert (rejected["fit_n_iter"] > 0).all()  # flags still present
+
+
+def test_refine_forced_pallas_interpret():
+    """End-to-end refine_leastsq on the pallas path (interpret mode on
+    CPU): the fused-gather kernel gate requires W%128==0 frames."""
+    img = np.zeros((64, 128))
+    true = artificial.draw_cluster(
+        img, (32, 60), size=2.0, separation=4.5, n=2, signal=150.0,
+        angle=0.7,
+    )
+    f = pd.DataFrame(true + 0.2, columns=["y", "x"])
+    f["frame"] = 0
+    f["signal"] = 150.0
+    out = ct.refine_leastsq(
+        f, img.astype(np.float32), diameter=9, separation=5,
+        param_val={"size": 2.0}, lm_backend="pallas", lm_max_iter=12,
+        max_iter=2,
+    )
+    pos = out[["y", "x"]].to_numpy()
+    assert np.abs(pos - true).max() < 0.02
+    assert out["cost"].notna().all()
