@@ -76,9 +76,10 @@ def sharded_fit(
         ftol=1.49e-8,
         xtol=1.49e-8,
         compute_error=False,
-        # The pallas kernel is single-device (it would need a shard_map
-        # wrapper to partition the lane axis); the sharded path uses the
-        # XLA solver, which GSPMD partitions automatically.
+        # GSPMD auto-partitions the XLA solver; lm_backend='pallas'/'auto'
+        # instead runs the fused kernel per device under shard_map (lanes
+        # are independent, so the map needs no collectives).  Global-tied
+        # slots keep the XLA path (their tie is a cross-device reduce).
         lm_backend="xla",
     )
     defaults.update(solver_kw)
@@ -92,6 +93,43 @@ def sharded_fit(
         defaults["lm_backend"],
     )
     shardings = fit_step_spec(mesh, axis)
+
+    use_shard_map = (
+        defaults["lm_backend"] in ("pallas", "auto")
+        and defaults["constraint"] is None
+        and not np.any(
+            layout.global_slots
+        )
+    )
+    if use_shard_map:
+        # pallas_call outputs carry no varying-mesh-axes metadata, so the
+        # replication/vma check must be off (kwarg name differs by version)
+        try:
+            from jax import shard_map
+            _kw = {"check_vma": False}
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+            _kw = {"check_rep": False}
+
+        lane = P(axis)
+        mapped = shard_map(
+            solver,
+            mesh=mesh,
+            in_specs=(P(), lane, lane, lane, lane),
+            out_specs=(lane, lane, lane, lane, P()),
+            **_kw,
+        )
+
+        def fit(frames, frame_idx, params0, pose0, valid):
+            args = tuple(
+                jax.device_put(jnp.asarray(a), s)
+                for a, s in zip(
+                    (frames, frame_idx, params0, pose0, valid), shardings
+                )
+            )
+            return mapped(*args)
+
+        return fit, layout
 
     def fit(frames, frame_idx, params0, pose0, valid):
         args = tuple(
