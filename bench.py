@@ -25,7 +25,7 @@ def main():
     from clustertracking_tpu.models.registry import get_model
     from clustertracking_tpu.refine import _bucket_solver
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     window = (13, 13)
     solver, layout = _bucket_solver(
         get_model("gauss"), 2, True, 2, (), window, (4.5, 4.5), (),
