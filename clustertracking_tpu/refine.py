@@ -674,12 +674,32 @@ def refine_leastsq(
                 )
                 continue
 
+            # integrity guard for user-supplied cluster columns: every
+            # cluster id must appear exactly cluster_size times, within
+            # one frame (find_clusters guarantees this; a hand-edited
+            # DataFrame might not, and would silently corrupt the blocks)
+            if len(grp) % n != 0:
+                raise ValueError(
+                    f"inconsistent cluster/cluster_size columns: "
+                    f"{len(grp)} rows with cluster_size={n}"
+                )
             B = len(grp) // n
+            cid_blocks = grp["cluster"].to_numpy().reshape(B, n)
+            t_blocks = grp[t_column].to_numpy().reshape(B, n)
+            if not (
+                (cid_blocks == cid_blocks[:, :1]).all()
+                and (t_blocks == t_blocks[:, :1]).all()
+            ):
+                raise ValueError(
+                    "inconsistent cluster/cluster_size columns: a cluster "
+                    "id appears with the wrong multiplicity or spans "
+                    "frames — re-run find_clusters"
+                )
             Bpad = max(_LANE_PAD, int(np.ceil(B / _LANE_PAD)) * _LANE_PAD)
             flat = initial_params_bulk(grp, images)     # [B*n, P]
             params0 = np.zeros((Bpad, n, P), dtype=np.float32)
             params0[:B] = flat.reshape(B, n, P)
-            tcol = grp[t_column].to_numpy()[::n]
+            tcol = t_blocks[:, 0]
             fidx = np.zeros(Bpad, dtype=np.int32)
             fidx[:B] = [frame_local[int(t)] for t in tcol]
             valid = np.zeros(Bpad, dtype=bool)

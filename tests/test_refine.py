@@ -328,3 +328,19 @@ def test_refine_forced_pallas_interpret():
     pos = out[["y", "x"]].to_numpy()
     assert np.abs(pos - true).max() < 0.02
     assert out["cost"].notna().all()
+
+
+def test_inconsistent_cluster_columns_rejected():
+    """Hand-edited cluster/cluster_size columns that violate the contract
+    raise instead of silently corrupting the bucket blocks."""
+    img = np.zeros((64, 64))
+    true = artificial.draw_cluster(
+        img, (32, 32), size=2.5, separation=6.0, n=2, signal=150.0
+    )
+    f = pd.DataFrame(true, columns=["y", "x"])
+    f["frame"] = 0
+    f["signal"] = 150.0
+    f["cluster"] = [0, 1]        # two singles...
+    f["cluster_size"] = [2, 2]   # ...claiming to be a dimer each
+    with pytest.raises(ValueError, match="inconsistent cluster"):
+        ct.refine_leastsq(f, img, diameter=9, param_val={"size": 2.5})
