@@ -211,7 +211,56 @@ def _bucket_solver(
             img = fns.image_from_params(params, origin)
             return (img - pixels) * mask / norm[:, None]
 
-        residual_jac = _lane_jac(residual)
+        # Analytic Jacobian via the chain rule: the model machinery's
+        # analytic per-slot pixel Jacobian × the (tiny, per-lane jacfwd)
+        # Jacobian of the pose→positions map.  AD through the full pixel
+        # residual costs Q+V forward passes per lane; this costs one
+        # analytic J eval + a [n, D, Q]-sized pose derivative.  Needs
+        # positions in 'var' mode (the default) so J_std has per-position
+        # rows; otherwise fall back to per-lane AD.
+        pos_ok = all(
+            layout.slot_idx[i, p] >= 0
+            for i in range(layout.n_features)
+            for p in layout.pos_param_idx
+        )
+        if pos_ok:
+            pos_rows = np.array(
+                [
+                    layout.slot_idx[i, p]
+                    for i in range(layout.n_features)
+                    for p in layout.pos_param_idx
+                ]
+            )
+            Qt = Q + fit_dist
+            pose_jac_one = jax.jacfwd(
+                lambda p: pose_to_positions(p[None], constraint)[0]
+            )
+
+            def residual_jac(vect, params_ref, pixels, mask, origin,
+                             norm):
+                params = params_of(vect, params_ref)
+                vect_std = layout.vect_from_params(params)
+                r, J_std = fns.residual_jac(
+                    vect_std, params, pixels, mask, origin, norm
+                )                                   # [B, Vstd, Npix]
+                G = jax.vmap(pose_jac_one)(
+                    vect[:, :Qt]
+                )                                   # [B, n, D, Qt]
+                Bd, _, Npx = J_std.shape
+                Jpos = J_std[:, pos_rows, :].reshape(
+                    Bd, layout.n_features, layout.ndim, Npx
+                )
+                J_pose = jnp.einsum(
+                    "bndq,bndp->bqp", G, Jpos,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                # position slots are overridden by the pose — their
+                # direct derivative is zero (damping handles the zero
+                # diagonal, same as the AD path's inert columns)
+                J_free = J_std.at[:, pos_rows, :].set(0.0)
+                return r, jnp.concatenate([J_pose, J_free], axis=1)
+        else:
+            residual_jac = _lane_jac(residual)
     elif generic:
         con_fun = jax.vmap(constraint.fun)
 
