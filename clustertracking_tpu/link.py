@@ -161,9 +161,15 @@ def _link_device(f, search_range, memory, pos_columns, t_column):
     from .ops.link import link_on_device
 
     f = f.copy()
-    frames = sorted(f[t_column].unique())
-    tmap = {int(t): i for i, t in enumerate(frames)}
-    T = len(frames)
+    if len(f) == 0:
+        f["particle"] = np.array([], dtype=np.int64)
+        return f
+    # the scan covers EVERY frame in [min, max] — empty frames must
+    # occupy time slots or gaps would not count against `memory`
+    tmin = int(f[t_column].min())
+    tmax = int(f[t_column].max())
+    tmap = {t: t - tmin for t in range(tmin, tmax + 1)}
+    T = tmax - tmin + 1
     counts = f.groupby(t_column).size()
     K = int(counts.max())
     D = len(pos_columns)

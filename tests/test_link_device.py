@@ -76,3 +76,37 @@ def test_device_varying_counts(rng):
     assert main["particle"].nunique() == 1
     blink = out[out["y"] > 40]
     assert blink["particle"].nunique() == 1  # memory=1 bridges gaps
+
+
+def test_device_link_empty():
+    import pandas as pd
+
+    from clustertracking_tpu import link
+
+    empty = pd.DataFrame(columns=["y", "x", "frame"])
+    out = link(empty, 3.0, backend="device")
+    assert len(out) == 0 and "particle" in out.columns
+
+
+def test_device_link_frame_gap_respects_memory():
+    """An empty frame between sightings counts against `memory`, exactly
+    like the host linker (the time axis must not compress)."""
+    import numpy as np
+    import pandas as pd
+
+    from clustertracking_tpu import link
+
+    # one particle seen at t=0 and t=2; nothing at t=1
+    f = pd.DataFrame(
+        {"frame": [0, 2], "y": [10.0, 10.2], "x": [10.0, 10.1]}
+    )
+    # memory=0: the track dies during the empty frame -> two particles
+    out0_d = link(f.copy(), 3.0, memory=0, backend="device")
+    out0_h = link(f.copy(), 3.0, memory=0, backend="host")
+    assert out0_d["particle"].nunique() == 2
+    assert out0_h["particle"].nunique() == 2
+    # memory=1: the gap is bridged -> one particle
+    out1_d = link(f.copy(), 3.0, memory=1, backend="device")
+    out1_h = link(f.copy(), 3.0, memory=1, backend="host")
+    assert out1_d["particle"].nunique() == 1
+    assert out1_h["particle"].nunique() == 1
