@@ -344,3 +344,50 @@ def test_inconsistent_cluster_columns_rejected():
     f["cluster_size"] = [2, 2]   # ...claiming to be a dimer each
     with pytest.raises(ValueError, match="inconsistent cluster"):
         ct.refine_leastsq(f, img, diameter=9, param_val={"size": 2.5})
+
+
+def test_parity_vs_host_scipy_3d_aniso():
+    """3D anisotropic fidelity: batched TPU path vs serial scipy on the
+    same clusters (the BASELINE param-RMSE metric, 3D tier)."""
+    from clustertracking_tpu.hostref import fit_cluster_scipy
+    from clustertracking_tpu.models import build_layout, get_model
+
+    rng = np.random.default_rng(17)
+    img = np.zeros((40, 56, 56))
+    sizes = (1.5, 2.2, 2.2)
+    true = artificial.draw_cluster(
+        img, (20, 28, 28), size=sizes, separation=4.5, n=2,
+        signal=150.0, angle=0.5,
+    )
+    f = pd.DataFrame(
+        true + rng.uniform(-0.25, 0.25, true.shape),
+        columns=["z", "y", "x"],
+    )
+    f["frame"] = 0
+    f["signal"] = 150.0
+    f["size_z"], f["size_y"], f["size_x"] = sizes
+    mode = {"size_z": "var", "size_y": "var", "size_x": "var"}
+
+    out = ct.refine_leastsq(
+        f, img, diameter=(7, 11, 11), separation=5, param_mode=mode,
+    )
+    # serial scipy on the identical cluster
+    model = get_model("gauss")
+    layout = build_layout(model, 3, False, 2, mode)
+    p0 = np.zeros((2, 8))
+    p0[:, 1] = 150.0
+    p0[:, 2:5] = f[["z", "y", "x"]].to_numpy()
+    p0[:, 5:8] = sizes
+    params_s, rms_s, _ = fit_cluster_scipy(
+        img, p0, layout.slot_idx, (15, 19, 19), (3.5, 5.5, 5.5),
+        isotropic=False, norm=150.0,
+    )
+    pos_t = out[["z", "y", "x"]].to_numpy()
+    # both sub-0.01 voxel from truth, and mutually consistent
+    assert np.abs(pos_t - true).max() < 0.01
+    assert np.abs(params_s[:, 2:5] - true).max() < 0.01
+    np.testing.assert_allclose(pos_t, params_s[:, 2:5], atol=0.01)
+    np.testing.assert_allclose(
+        out[["size_z", "size_y", "size_x"]].to_numpy(),
+        params_s[:, 5:8], atol=0.05,
+    )
