@@ -56,7 +56,7 @@ def main():
     #   output — the device stream is FIFO, so that fences every rep;
     # - one fetch (not per-rep) so the ~27 ms tunnel round-trip (measured
     #   dispatch+fetch floor for a trivial op) amortizes over the reps.
-    reps = 12
+    reps = 24
     rng = np.random.default_rng(1)
     p_reps = [
         args[2] + jnp.asarray(
