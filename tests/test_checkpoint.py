@@ -76,3 +76,68 @@ def test_checkpoint_resume_matches_single_shot(tmp_path):
     again = ct.track(reader, checkpoint_dir=str(ck), checkpoint_every=3,
                      **common)
     assert len(again) == len(out)
+
+
+def test_checkpoint_survives_hard_kill(tmp_path):
+    """SIGKILL mid-run (not a clean stop): the atomic persists leave a
+    consistent checkpoint, and resume completes with correct results."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ck = tmp_path / "ck"
+    video_script = r"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np, pandas as pd
+import clustertracking_tpu as ct
+from clustertracking_tpu.artificial import CoordinateReader
+rng = np.random.default_rng(11)
+centers = rng.uniform(20, 100, (6, 2)); angles = rng.uniform(0, np.pi, 6)
+rows = []
+for t in range(8):
+    centers = np.clip(centers + rng.normal(0, 0.4, centers.shape), 15, 105)
+    angles = angles + rng.normal(0, 0.1, 6)
+    offs = 2.5 * np.stack([np.sin(angles), np.cos(angles)], -1)
+    for k in range(6):
+        for sgn in (+1, -1):
+            p = centers[k] + sgn * offs[k]
+            rows.append({{"frame": t, "y": p[0], "x": p[1], "signal": 150.0}})
+f = pd.DataFrame(rows)
+reader = CoordinateReader(f, (120, 120), size=1.6)
+out = ct.track(reader, diameter=7, separation=5.5, search_range=3.0,
+               checkpoint_dir={ck!r}, checkpoint_every=2)
+print("DONE", len(out), out["particle"].nunique(), flush=True)
+"""
+    import os as _os
+
+    repo = _os.getcwd()
+    script = video_script.format(repo=repo, ck=str(ck))
+
+    # first run: kill it as soon as the first checkpoint lands
+    p = subprocess.Popen([sys.executable, "-u", "-c", script])
+    deadline = time.time() + 120
+    state = ck / "state.json"
+    while time.time() < deadline:
+        if state.exists():
+            break
+        if p.poll() is not None:
+            break  # finished before we could kill — still a valid test
+        time.sleep(0.2)
+    if p.poll() is None:
+        os.kill(p.pid, signal.SIGKILL)
+        p.wait()
+        assert state.exists(), "no checkpoint was written before the kill"
+
+    # second run: resume to completion
+    r = subprocess.run(
+        [sys.executable, "-u", "-c", script], capture_output=True,
+        text=True, timeout=300,
+    )
+    assert "DONE" in r.stdout, r.stdout + r.stderr
+    n_rows, n_traj = map(int, r.stdout.split("DONE")[1].split())
+    assert n_rows == 8 * 12  # every feature of every frame tracked
+    assert n_traj == 12
