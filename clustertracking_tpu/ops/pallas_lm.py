@@ -32,6 +32,7 @@ scipy.optimize.leastsq in clustertracking/refine.py::refine_leastsq
 """
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -69,21 +70,71 @@ def _pick_chunk(n_slots: int, npix: int) -> int:
     return max(chunk, 0)
 
 
+def _rigid_kernel_slots(layout: ParamLayout, constraint):
+    """Compact slot bookkeeping for a rigid-constrained kernel.
+
+    The rigid vect refine.py builds is [pose (Qt), std slots (V)] where
+    the n·D position slots inside the std segment are INERT (their
+    Jacobian rows are zero; positions come from the pose).  The kernel
+    drops them: compact x = [pose, non-position std slots].  Returns
+    (Qt, keep, drop, remap) where keep/drop index the FULL vect and
+    remap maps a std slot index to its compact row (-1 for positions).
+    """
+    n = layout.n_features
+    Qt = 3 + int(constraint.fit_dist)  # 2D: center(2) + angle (+ dist)
+    pos_slots = {
+        int(layout.slot_idx[i, p])
+        for i in range(n)
+        for p in layout.pos_param_idx
+    }
+    keep = list(range(Qt))
+    remap = np.full(layout.n_slots, -1, np.int32)
+    for s in range(layout.n_slots):
+        if s not in pos_slots:
+            remap[s] = len(keep)
+            keep.append(Qt + s)
+    drop = [Qt + s for s in sorted(pos_slots)]
+    return Qt, keep, drop, remap
+
+
+def _rigid_supported(layout: ParamLayout, constraint) -> bool:
+    """Rigid constraints the kernel inlines: 2D n-gon pose (closed-form
+    trig chain rule), per-cluster fitted distance OK; 3D poses and
+    global-tied distances stay on the XLA path."""
+    if constraint.kind != "rigid" or layout.ndim != 2:
+        return False
+    if constraint.fit_dist and constraint.dist_mode == "global":
+        return False
+    # every position must be a fitted slot for the pose chain rule
+    return all(
+        layout.slot_idx[i, p] >= 0
+        for i in range(layout.n_features)
+        for p in layout.pos_param_idx
+    )
+
+
 def pallas_available(model: ModelSpec, layout: ParamLayout,
                      use_global: bool, constraint,
                      window_shape=None) -> bool:
     """Whether the fused kernel covers this bucket configuration.
 
     Not covered (falls back to ops/lm.py): cross-lane-tied 'global' slots
-    (need a cross-tile reduction), rigid/generic constraints (need jacfwd
-    through the pose map), zero-slot layouts, and windows whose resident
-    pixel inputs alone exceed VMEM (~8500 pixels).
+    (need a cross-tile reduction), generic penalty constraints and 3D
+    rigid poses (rigid 2D poses ARE covered — the pose chain rule is
+    closed-form trig inlined in the kernel), zero-slot layouts, and
+    windows whose resident pixel inputs alone exceed VMEM (~8500 pixels).
     """
-    if use_global or constraint is not None or layout.n_slots == 0:
+    if use_global or layout.n_slots == 0:
         return False
+    n_slots = layout.n_slots
+    if constraint is not None:
+        if not _rigid_supported(layout, constraint):
+            return False
+        _, keep, _, _ = _rigid_kernel_slots(layout, constraint)
+        n_slots = len(keep)
     if window_shape is not None:
         npix = int(np.prod(window_shape))
-        if _pick_chunk(layout.n_slots, npix) == 0:
+        if _pick_chunk(n_slots, npix) == 0:
             return False
     return True
 
@@ -113,6 +164,7 @@ def make_pallas_lm(
     chunk_len: Optional[int] = None,
     fused_gather: Optional[bool] = None,
     frame_shape: Optional[tuple] = None,
+    constraint=None,
 ):
     """Build the fused LM solver for one bucket configuration.
 
@@ -126,6 +178,15 @@ def make_pallas_lm(
     semantics to ops/gather.py::radius_mask) — passing a precomputed
     [B, Npix] mask costs ~4 ms of XLA prologue + 5.5 MB of HBM traffic
     per dispatch at B=8192.
+
+    With a rigid ``constraint`` (2D), ``vect0``/``lo``/``hi`` use the
+    refine.py rigid layout [pose (center, angle, dist?), std slots]; the
+    kernel solves a compact vector (inert position slots dropped) with
+    the pose→positions trig and its chain-rule Jacobian inlined — the
+    reference's SLSQP constrained fit (clustertracking/constraints.py)
+    reparameterized per SURVEY.md §7, at full kernel rate.  Returned x
+    uses the full layout (position slots keep their clipped initial
+    values, exactly like the XLA path's zero-delta inert slots).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -138,14 +199,39 @@ def make_pallas_lm(
     P = layout.n_params
     V = layout.n_slots
     slot_idx = layout.slot_idx  # [n, P] int, -1 = const
+    rigid = constraint is not None
+    if rigid:
+        if not _rigid_supported(layout, constraint):
+            raise ValueError(
+                f"pallas kernel does not support constraint "
+                f"{constraint!r} (needs rigid, 2D, positions fitted, "
+                "non-global dist)"
+            )
+        from ..constraints import circumradius_factor
+
+        Qt, keep_idx, drop_idx, slot_remap = _rigid_kernel_slots(
+            layout, constraint
+        )
+        fit_dist = bool(constraint.fit_dist)
+        circ = float(circumradius_factor(n, 2))
+        alphas = [2.0 * math.pi * i / n for i in range(n)]
+        fixed_dist = None if fit_dist else float(constraint.dist)
+        Vk = len(keep_idx)  # compact kernel vector length
+        lo_full = np.asarray(lo, np.float32)
+        hi_full = np.asarray(hi, np.float32)
+        lo = lo_full[keep_idx]
+        hi = hi_full[keep_idx]
+    else:
+        Qt, keep_idx, drop_idx, slot_remap = 0, None, None, None
+        Vk = V
     Npix = int(np.prod(window_shape))
     if tile_b is None:
         tile_b = 128
     if chunk_len is None:
-        chunk_len = _pick_chunk(layout.n_slots, Npix)
+        chunk_len = _pick_chunk(Vk, Npix)
     if chunk_len == 0:
         raise ValueError(
-            f"window {window_shape} x {layout.n_slots} slots exceeds "
+            f"window {window_shape} x {Vk} slots exceeds "
             "VMEM; use the XLA path"
         )
     # Multi-chunk windows iterate a fori_loop so each chunk's temporaries
@@ -218,16 +304,21 @@ def make_pallas_lm(
             maskc = inside.astype(jnp.float32)
             return pixc, maskc, off
 
+        def krow(s):
+            """Compact kernel row for std slot s (identity when no
+            constraint; pose-shifted remap when rigid)."""
+            return int(slot_remap[s]) if rigid else int(s)
+
         def prow(x, i, p):
             """Parameter (feature i, param p) as a [1, TB] row."""
             s = int(slot_idx[i, p])
             if s >= 0:
-                return _row(x, s)
+                return _row(x, krow(s))
             return _row(cp, i * P + p)
 
         def clip(x):
             rows = []
-            for v in range(V):
+            for v in range(Vk):
                 r = _row(x, v)
                 if np.isfinite(lo[v]):
                     r = jnp.maximum(r, lo[v])
@@ -243,7 +334,7 @@ def make_pallas_lm(
             live, so any window size fits (see _pick_chunk)."""
             wc = maskc * inv_norm                    # [CL, TB]
             img = jnp.broadcast_to(prow(x, 0, bg_p), wc.shape)
-            Jrows = [None] * V if with_jac else None
+            Jrows = [None] * Vk if with_jac else None
 
             def add(v, contrib):
                 if Jrows[v] is None:
@@ -254,17 +345,30 @@ def make_pallas_lm(
             # background: one shared slot, dI/dbg = 1 (added once, not per
             # feature — the model has a single background per cluster)
             if with_jac and slot_idx[0, bg_p] >= 0:
-                add(int(slot_idx[0, bg_p]), wc)
+                add(krow(int(slot_idx[0, bg_p])), wc)
+
+            if rigid:
+                # pose rows: positions are center + R_c·(sin, cos)(θ+αᵢ)
+                # — constraints.py::pose_to_positions inlined (2D n-gon)
+                cy, cx, th = _row(x, 0), _row(x, 1), _row(x, 2)
+                Rc = circ * (_row(x, 3) if fit_dist else fixed_dist)
 
             for i in range(n):
                 sig = prow(x, i, sig_p)
                 ex = [prow(x, i, p) for p in extra_p]
                 sizes = [prow(x, i, p) for p in size_p]
+                if rigid:
+                    si = jnp.sin(th + alphas[i])
+                    ci = jnp.cos(th + alphas[i])
+                    rels = [cy + Rc * si - _row(org, 0),
+                            cx + Rc * ci - _row(org, 1)]
                 dxs = []
                 r2 = None
                 for d in range(D):
                     s_d = sizes[0] if layout.isotropic else sizes[d]
-                    rel = prow(x, i, pos_p[d]) - _row(org, d)
+                    rel = rels[d] if rigid else (
+                        prow(x, i, pos_p[d]) - _row(org, d)
+                    )
                     dx = (off[d] - rel) / s_d               # [CL, TB]
                     dxs.append(dx)
                     r2 = dx * dx if r2 is None else r2 + dx * dx
@@ -274,32 +378,45 @@ def make_pallas_lm(
                     continue
                 sig_df = sig * (dfun(r2, *ex) if n_extra else dfun(r2))
                 if slot_idx[i, sig_p] >= 0:
-                    add(int(slot_idx[i, sig_p]), f * wc)
-                for d in range(D):
-                    if slot_idx[i, pos_p[d]] >= 0:
-                        s_d = sizes[0] if layout.isotropic else sizes[d]
-                        add(
-                            int(slot_idx[i, pos_p[d]]),
-                            sig_df * (-2.0) * dxs[d] / s_d * wc,
-                        )
+                    add(krow(int(slot_idx[i, sig_p])), f * wc)
+                if rigid:
+                    # chain rule through the pose map: ∂r/∂pose =
+                    # Σ_d (∂r/∂pos_d)·(∂pos_d/∂pose), closed-form trig
+                    s0 = sizes[0]
+                    s1 = sizes[0] if layout.isotropic else sizes[1]
+                    cy_c = sig_df * (-2.0) * dxs[0] / s0 * wc
+                    cx_c = sig_df * (-2.0) * dxs[1] / s1 * wc
+                    add(0, cy_c)                       # ∂pos/∂center = I
+                    add(1, cx_c)
+                    add(2, Rc * (ci * cy_c - si * cx_c))   # ∂/∂θ
+                    if fit_dist:
+                        add(3, circ * (si * cy_c + ci * cx_c))
+                else:
+                    for d in range(D):
+                        if slot_idx[i, pos_p[d]] >= 0:
+                            s_d = sizes[0] if layout.isotropic else sizes[d]
+                            add(
+                                int(slot_idx[i, pos_p[d]]),
+                                sig_df * (-2.0) * dxs[d] / s_d * wc,
+                            )
                 if layout.isotropic:
                     if slot_idx[i, size_p[0]] >= 0:
                         add(
-                            int(slot_idx[i, size_p[0]]),
+                            krow(int(slot_idx[i, size_p[0]])),
                             sig_df * (-2.0) * r2 / sizes[0] * wc,
                         )
                 else:
                     for d in range(D):
                         if slot_idx[i, size_p[d]] >= 0:
                             add(
-                                int(slot_idx[i, size_p[d]]),
+                                krow(int(slot_idx[i, size_p[d]])),
                                 sig_df * (-2.0) * dxs[d] * dxs[d]
                                 / sizes[d] * wc,
                             )
                 for k, p in enumerate(extra_p):
                     if slot_idx[i, p] >= 0:
                         add(
-                            int(slot_idx[i, p]),
+                            krow(int(slot_idx[i, p])),
                             sig * dfun_dex[k](r2, *ex) * wc,
                         )
             r = (img - pixc) * wc
@@ -313,10 +430,10 @@ def make_pallas_lm(
         # padded to a sublane-tile multiple (loop carries must be full
         # vregs, same Mosaic constraint as the outer while_loop state).
         tri = {}
-        for u in range(V):
-            for v in range(u, V):
+        for u in range(Vk):
+            for v in range(u, Vk):
                 tri[(u, v)] = len(tri)
-        NACC = 1 + V + len(tri)
+        NACC = 1 + Vk + len(tri)
         NACCp = -(-NACC // 8) * 8
 
         def _chunk_rows(x, c0, with_jac):
@@ -327,9 +444,9 @@ def make_pallas_lm(
                 return [_rsum(r * r)]
             r, Jrows = chunk_eval(x, pixc, maskc, off, with_jac=True)
             rows = [_rsum(r * r)]
-            rows += [_rsum(Jrows[v] * r) for v in range(V)]
-            for u in range(V):
-                for v in range(u, V):
+            rows += [_rsum(Jrows[v] * r) for v in range(Vk)]
+            for u in range(Vk):
+                for v in range(u, Vk):
                     rows.append(_rsum(Jrows[u] * Jrows[v]))
             return rows
 
@@ -358,10 +475,10 @@ def make_pallas_lm(
         def eval_cost_grad_hess(x):
             acc = _accumulate(x, with_jac=True)
             cost = _row(acc, 0)
-            g = [_row(acc, 1 + v) for v in range(V)]
-            H = [[None] * V for _ in range(V)]
+            g = [_row(acc, 1 + v) for v in range(Vk)]
+            H = [[None] * Vk for _ in range(Vk)]
             for (u, v), k in tri.items():
-                H[u][v] = _row(acc, 1 + V + k)
+                H[u][v] = _row(acc, 1 + Vk + k)
                 H[v][u] = H[u][v]  # symmetric (shared row, no copy)
             return cost, g, H
 
@@ -370,36 +487,36 @@ def make_pallas_lm(
 
             H: dict-of-dicts of [1, TB] rows (upper triangle u<=v),
             g: list of V rows.  All elementwise VPU code over lanes."""
-            A = [[None] * V for _ in range(V)]
-            for u in range(V):
-                for v in range(u, V):
+            A = [[None] * Vk for _ in range(Vk)]
+            for u in range(Vk):
+                for v in range(u, Vk):
                     A[u][v] = H[u][v]
-            for v in range(V):
+            for v in range(Vk):
                 d = jnp.maximum(H[v][v], 1e-12)
                 A[v][v] = H[v][v] + lam * d + 1e-10
-            L = [[None] * V for _ in range(V)]
-            for j in range(V):
+            L = [[None] * Vk for _ in range(Vk)]
+            for j in range(Vk):
                 s = A[j][j]
                 for k in range(j):
                     s = s - L[j][k] * L[j][k]
                 dj = jnp.sqrt(jnp.maximum(s, 1e-20))
                 L[j][j] = dj
                 inv_dj = 1.0 / dj
-                for i2 in range(j + 1, V):
+                for i2 in range(j + 1, Vk):
                     s = A[j][i2]  # upper-triangle storage: A[min][max]
                     for k in range(j):
                         s = s - L[i2][k] * L[j][k]
                     L[i2][j] = s * inv_dj
-            y = [None] * V
-            for i2 in range(V):
+            y = [None] * Vk
+            for i2 in range(Vk):
                 s = -g[i2]
                 for k in range(i2):
                     s = s - L[i2][k] * y[k]
                 y[i2] = s / L[i2][i2]
-            xs = [None] * V
-            for i2 in reversed(range(V)):
+            xs = [None] * Vk
+            for i2 in reversed(range(Vk)):
                 s = y[i2]
-                for k in range(i2 + 1, V):
+                for k in range(i2 + 1, Vk):
                     s = s - L[k][i2] * xs[k]
                 xs[i2] = s / L[i2][i2]
             return jnp.concatenate(xs, axis=0)  # [V, TB]
@@ -412,12 +529,12 @@ def make_pallas_lm(
         # yield padded [1, TB] vregs through scf loops): x is padded to a
         # multiple of 8 rows; the five per-lane scalar rows (cost, lam,
         # active, n_iter, converged) are packed into one [8, TB] array.
-        Vpad = -(-V // 8) * 8
+        Vpad = -(-Vk // 8) * 8
 
         def pack_x(x):
             return jnp.concatenate(
-                [x, jnp.zeros((Vpad - V, TB), x.dtype)], axis=0
-            ) if Vpad > V else x
+                [x, jnp.zeros((Vpad - Vk, TB), x.dtype)], axis=0
+            ) if Vpad > Vk else x
 
         def pack_s(cost, lam, active, n_iter, converged):
             return jnp.concatenate([
@@ -432,7 +549,7 @@ def make_pallas_lm(
 
         def body(state):
             it, xp, s = state
-            x = xp[:V, :]
+            x = xp[:Vk, :]
             cost = _row(s, 0)
             lam = _row(s, 1)
             active = _row(s, 2) > 0.5
@@ -454,7 +571,12 @@ def make_pallas_lm(
             lam_new = jnp.where(active, lam_new, lam)
 
             # convergence tests — bit-for-bit the ops/lm.py::lm_solve rules
-            xnorm = jnp.max(jnp.abs(x), axis=0, keepdims=True)
+            # (xnorm includes the dropped inert position slots via aux
+            # row 2, so rigid-compact x matches the XLA full-vector norm)
+            xnorm = jnp.maximum(
+                jnp.max(jnp.abs(x), axis=0, keepdims=True),
+                _row(aux_ref, 2),
+            )
             snorm = jnp.max(jnp.abs(step), axis=0, keepdims=True)
             conv_x = accept & (snorm <= xtol * (xtol + xnorm))
             conv_f = accept & (
@@ -507,7 +629,7 @@ def make_pallas_lm(
                 0,
             )
 
-        xout_ref[:] = xp[:V, :]
+        xout_ref[:] = xp[:Vk, :]
         stats_ref[0:1, :] = _row(s, 0)   # cost
         stats_ref[1:2, :] = _row(s, 3)   # n_iter
         stats_ref[2:3, :] = _row(s, 4)   # converged
@@ -532,8 +654,17 @@ def make_pallas_lm(
     # host), and the exact wy×wx window is extracted in-kernel with two
     # batched one-hot matmuls on the MXU.
     if len(window_shape) == 2:
+        # The block must cover the worst-case in-block offset PLUS the
+        # window: the corner rounds DOWN to the nearest aligned multiple,
+        # so dy <= 7 (R_BLK >= wy + 7) and dx <= 127 (W_BLK >= wx + 127).
+        # Exception: when the frame itself is no wider than the block,
+        # the edge clamp (corner = min(aligned, W - W_BLK)) bounds the
+        # offset by W_BLK - wx, so capping W_BLK at the frame width stays
+        # correct and keeps narrow frames eligible.
         _R_BLK = -(-(window_shape[0] + 7) // 8) * 8
-        _W_BLK = 128 if window_shape[1] <= 116 else 256
+        _W_BLK = -(-(window_shape[1] + 127) // 128) * 128
+        if frame_shape is not None and len(frame_shape) == 2:
+            _W_BLK = min(_W_BLK, -(-frame_shape[1] // 128) * 128)
     else:
         _R_BLK = _W_BLK = 0
 
@@ -620,6 +751,34 @@ def make_pallas_lm(
             xout_ref, stats_ref,
         )
 
+    def _compact_in(vect0):
+        """Kernel x0 (compact for rigid) + the dropped-slot norm row.
+
+        The dropped inert position slots still contribute to the XLA
+        path's max-abs convergence norm; their (clipped, constant)
+        magnitude rides along as aux row 2 so conv_x matches bit-exactly.
+        """
+        if not rigid:
+            return vect0, jnp.zeros(vect0.shape[:1], vect0.dtype)
+        stale = jnp.clip(
+            vect0[:, jnp.asarray(drop_idx)],
+            jnp.asarray(lo_full[drop_idx]),
+            jnp.asarray(hi_full[drop_idx]),
+        )
+        xn = jnp.max(jnp.abs(stale), axis=1)
+        return vect0[:, jnp.asarray(keep_idx)], xn
+
+    def _expand_out(vect0, xk):
+        """Scatter the compact solution back into the full rigid layout;
+        inert position slots return their clipped initial values (exactly
+        the XLA path's zero-delta behavior)."""
+        if not rigid:
+            return xk
+        full = jnp.clip(
+            vect0, jnp.asarray(lo_full), jnp.asarray(hi_full)
+        )
+        return full.at[:, jnp.asarray(keep_idx)].set(xk)
+
     def solve(vect0, const_params, pixels, pos_at, origin, norm, valid):
         B = vect0.shape[0]
         Bpad = max(tile_b, -(-B // tile_b) * tile_b)
@@ -634,15 +793,17 @@ def make_pallas_lm(
                 rep = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
             return jnp.concatenate([a, rep], axis=0)
 
-        vT = padB(vect0).T                                    # [V, Bp]
+        vc, xn = _compact_in(vect0)
+        vT = padB(vc).T                                       # [Vk, Bp]
         cpT = padB(const_params).reshape(Bpad, n * P).T       # [nP, Bp]
         pixT = padB(pixels).T                                 # [Npix, Bp]
         posT = padB(pos_at).reshape(Bpad, n * D).T            # [nD, Bp]
         orgT = padB(origin).astype(jnp.float32).T             # [D, Bp]
         aux = jnp.stack(
-            [padB(norm), padB(valid, fill=False).astype(norm.dtype)],
+            [padB(norm), padB(valid, fill=False).astype(norm.dtype),
+             padB(xn)],
             axis=0,
-        )                                                     # [2, Bp]
+        )                                                     # [3, Bp]
         if Npix_pad > Npix:  # equal-chunk padding; in-kernel tail mask
             zt = jnp.zeros((Npix_pad - Npix, Bpad), jnp.float32)
             pixT = jnp.concatenate([pixT, zt], axis=0)
@@ -662,19 +823,19 @@ def make_pallas_lm(
             kernel,
             grid=grid,
             in_specs=[
-                spec(V), spec(n * P), spec(Npix_pad), spec(n * D),
-                spec(D), spec(2),
+                spec(Vk), spec(n * P), spec(Npix_pad), spec(n * D),
+                spec(D), spec(3),
             ],
-            out_specs=[spec(V), spec(8)],
+            out_specs=[spec(Vk), spec(8)],
             out_shape=[
-                jax.ShapeDtypeStruct((V, Bpad), jnp.float32),
+                jax.ShapeDtypeStruct((Vk, Bpad), jnp.float32),
                 jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
             ],
             interpret=interpret,
         )(vT, cpT, pixT, posT, orgT, aux)
 
         return LMResult(
-            x=xT.T[:B],
+            x=_expand_out(vect0, xT.T[:B]),
             cost=stats[0, :B],
             n_iter=stats[1, :B].astype(jnp.int32),
             converged=stats[2, :B] > 0.5,
@@ -701,12 +862,14 @@ def make_pallas_lm(
                 rep = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
             return jnp.concatenate([a, rep], axis=0)
 
-        vT = padB(vect0).T
+        vc, xn = _compact_in(vect0)
+        vT = padB(vc).T
         cpT = padB(const_params).reshape(Bpad, n * P).T
         posT = padB(pos_at).reshape(Bpad, n * D).T
         orgT = padB(origin).astype(jnp.float32).T
         aux = jnp.stack(
-            [padB(norm), padB(valid, fill=False).astype(norm.dtype)],
+            [padB(norm), padB(valid, fill=False).astype(norm.dtype),
+             padB(xn)],
             axis=0,
         )
         # Aligned DMA block corners (edge-clamped) + sub-block offsets.
@@ -740,10 +903,10 @@ def make_pallas_lm(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # frames stay in HBM
-                spec(V), spec(n * P), spec(n * D), spec(D), spec(2),
-                spec(2),
+                spec(Vk), spec(n * P), spec(n * D), spec(D), spec(2),
+                spec(3),
             ],
-            out_specs=[spec(V), spec(8)],
+            out_specs=[spec(Vk), spec(8)],
             scratch_shapes=[
                 pltpu.VMEM((2, tile_b, _R_BLK, _W_BLK), jnp.float32),
                 pltpu.VMEM((Npix_pad, tile_b), jnp.float32),
@@ -754,14 +917,14 @@ def make_pallas_lm(
             kernel_fused,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((V, Bpad), jnp.float32),
+                jax.ShapeDtypeStruct((Vk, Bpad), jnp.float32),
                 jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
             ],
             interpret=interpret,
         )(sidx, frames.astype(jnp.float32), vT, cpT, posT, orgT, sub, aux)
 
         return LMResult(
-            x=xT.T[:B],
+            x=_expand_out(vect0, xT.T[:B]),
             cost=stats[0, :B],
             n_iter=stats[1, :B].astype(jnp.int32),
             converged=stats[2, :B] > 0.5,

@@ -237,3 +237,161 @@ def test_pallas_fused_gather_matches():
     np.testing.assert_allclose(
         np.asarray(res_fused.npix), np.asarray(res_pix.npix)
     )
+
+
+def test_pallas_fused_gather_straddles_128_boundary():
+    """Windows whose 128-aligned DMA corner leaves an in-block x offset
+    near 127 (origin_x mod 128 ~ 119..127) must still be fully covered by
+    the fetched block.  Regression: with W_BLK=128 the columns past the
+    block edge read as zeros and fits silently diverged by tens of px."""
+    import clustertracking_tpu.artificial as artificial
+
+    model = get_model("gauss")
+    layout = build_layout(model, 2, True, 2, {})
+    rng = np.random.default_rng(3)
+    B, n, P = 6, 2, layout.n_params
+    H, W = 64, 256
+    frames = np.zeros((B, H, W), np.float32)
+    params0 = np.zeros((B, n, P), np.float32)
+    # centers chosen so origin_x sweeps across the col-128 tile boundary
+    xs = [118.0, 121.5, 124.0, 126.5, 129.0, 133.0]
+    for b in range(B):
+        center = np.array([32.0 + rng.uniform(-1, 1), xs[b]])
+        true = artificial.draw_cluster(
+            frames[b], center, size=1.8, separation=4.0, n=n,
+            signal=100.0, angle=rng.uniform(0, np.pi),
+        )
+        params0[b, :, 1] = 100.0
+        params0[b, :, 2:4] = true + rng.uniform(-0.2, 0.2, true.shape)
+        params0[b, :, 4] = 1.8
+    frames = jnp.asarray(frames)
+    fidx = jnp.arange(B, dtype=jnp.int32)
+    params0 = jnp.asarray(params0)
+    valid = jnp.ones(B, bool)
+
+    pos0 = params0[..., list(layout.pos_param_idx)]
+    frame_shape = frames.shape[1:]
+    origin = origins_for(pos0, WINDOW, frame_shape)
+    # the scenario must actually exercise a boundary-straddling window
+    ox = np.asarray(origin)[:, 1]
+    assert ((ox % 128 + WINDOW[1]) > 128).any()
+
+    def gather_one(fi, org):
+        win = jax.lax.dynamic_slice(
+            frames, (fi, org[0], org[1]), (1,) + WINDOW
+        )
+        return win.reshape(-1)
+
+    pixels = jax.vmap(gather_one)(fidx, origin)
+    norm = jnp.maximum(
+        jnp.max(jnp.abs(params0[..., layout.signal_param_idx]), axis=1),
+        1e-6,
+    )
+    vect0 = layout.vect_from_params(params0)
+    V = layout.n_slots
+    lo = np.full(V, -np.inf, np.float32)
+    hi = np.full(V, np.inf, np.float32)
+    psolve_pix = make_pallas_lm(
+        model, layout, WINDOW, lo, hi, (3.0, 3.0), max_iter=MAX_IT,
+        interpret=True, fused_gather=False,
+    )
+    res_pix = psolve_pix(vect0, params0, pixels, pos0, origin, norm, valid)
+    psolve = make_pallas_lm(
+        model, layout, WINDOW, lo, hi, (3.0, 3.0), max_iter=MAX_IT,
+        interpret=True, fused_gather=True, frame_shape=frame_shape,
+    )
+    res_fused = psolve(vect0, params0, frames, fidx, pos0, origin, norm,
+                       valid)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.x), np.asarray(res_pix.x), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_fused.npix), np.asarray(res_pix.npix)
+    )
+
+
+def _rigid_scene(n, true_d=5.0, n_clusters=4, seed=11, size=2.5):
+    """n_clusters rigid n-mers on a grid, perturbed initial guesses."""
+    import pandas as pd
+    import clustertracking_tpu.artificial as artificial
+
+    rng = np.random.default_rng(seed)
+    img = np.zeros((96, 96))
+    centers = [(24, 24), (24, 70), (70, 24), (70, 70)][:n_clusters]
+    rows, truth = [], []
+    for c in centers:
+        true = artificial.draw_cluster(
+            img, c, size=size, separation=true_d, n=n, signal=180.0,
+            angle=rng.uniform(0, np.pi),
+        )
+        truth.append(true)
+        for p in true + rng.uniform(-0.3, 0.3, true.shape):
+            rows.append({"frame": 0, "y": p[0], "x": p[1],
+                         "signal": 180.0, "size": size})
+    return img, pd.DataFrame(rows), np.concatenate(truth)
+
+
+@pytest.mark.parametrize("n,conf", [
+    (2, "dimer"), (3, "trimer"), (2, "dimer_global_cluster"),
+])
+def test_pallas_rigid_matches_xla(n, conf):
+    """Rigid-constrained buckets in the kernel (pose chain rule inlined)
+    must match the XLA rigid path lane-by-lane: same positions, same
+    cost, geometry satisfied exactly."""
+    import clustertracking_tpu as ct
+    from clustertracking_tpu.constraints import dimer, dimer_global, trimer
+
+    true_d = 5.0
+    con = {
+        "dimer": lambda: dimer(true_d, ndim=2),
+        "trimer": lambda: trimer(true_d, ndim=2),
+        "dimer_global_cluster": lambda: dimer_global(
+            ndim=2, mode="cluster"
+        ),
+    }[conf]()
+    img, f, truth = _rigid_scene(n, true_d)
+    common = dict(diameter=9, separation=5.5, constraints=con,
+                  param_val={"size": 2.5})
+    out_x = ct.refine_leastsq(f, img, lm_backend="xla", **common)
+    out_p = ct.refine_leastsq(f, img, lm_backend="pallas", **common)
+
+    cols = ["y", "x", "signal", "size"]
+    np.testing.assert_allclose(
+        out_p[cols].to_numpy(), out_x[cols].to_numpy(),
+        rtol=0, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        out_p["cost"].to_numpy(), out_x["cost"].to_numpy(),
+        rtol=1e-3, atol=1e-7,
+    )
+    # geometry conserved EXACTLY by the pose parameterization
+    pos = out_p[["y", "x"]].to_numpy().reshape(-1, n, 2)
+    for cl in pos:
+        d = np.linalg.norm(cl[None] - cl[:, None], axis=-1)
+        off = d[~np.eye(n, dtype=bool)]
+        if conf == "dimer_global_cluster":
+            assert np.ptp(off) < 1e-4  # rigid within the cluster
+            assert abs(off[0] - true_d) < 0.05  # learned length ~ truth
+        else:
+            np.testing.assert_allclose(off, true_d, atol=1e-4)
+    # and ground truth recovered sub-pixel
+    assert np.abs(pos.reshape(-1, 2) - truth).max() < 0.02
+
+
+def test_pallas_rigid_fused_gather_matches():
+    """Rigid kernel + in-kernel DMA gather (the TPU config-3 hot path):
+    must agree with the rigid pixel-input kernel exactly."""
+    import clustertracking_tpu as ct
+    from clustertracking_tpu.constraints import dimer
+
+    img, f, truth = _rigid_scene(2, 5.0)
+    img = np.pad(img, ((0, 0), (0, 128 - img.shape[1] % 128)))
+    common = dict(diameter=9, separation=5.5,
+                  constraints=dimer(5.0, ndim=2),
+                  param_val={"size": 2.5})
+    out_x = ct.refine_leastsq(f, img, lm_backend="xla", **common)
+    out_p = ct.refine_leastsq(f, img, lm_backend="pallas", **common)
+    cols = ["y", "x", "signal", "size"]
+    np.testing.assert_allclose(
+        out_p[cols].to_numpy(), out_x[cols].to_numpy(), rtol=0, atol=5e-4
+    )
