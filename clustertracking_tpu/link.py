@@ -8,12 +8,16 @@ particles.  This module provides the host implementation with deterministic
 semantics; the on-device `lax.scan` linker for the dense pipeline lives in
 ops/link.py.
 
-Tie-breaking contract (documented per SURVEY.md §7 hard-parts #5): candidate
-(track, feature) pairs within ``search_range`` are assigned greedily in
-order of increasing distance.  On unambiguous frames (every feature has at
-most one candidate track and vice versa) this matches trackpy exactly; on
-contended subnets trackpy solves a global optimum and may differ — parity
-tests only assert the unambiguous cases.
+Assignment contract (SURVEY.md §7 hard-parts #5): within every *subnet*
+(connected component of the candidate bipartite graph of (track, feature)
+pairs closer than ``search_range``), the assignment minimizes the total
+squared displacement, with an unlinked feature costing ``search_range²``
+— the trackpy/Crocker–Grier subnet objective, solved exactly per subnet
+with the Hungarian algorithm (scipy.optimize.linear_sum_assignment; the
+reference delegates to trackpy's recursive subnet solver).  Unambiguous
+frames reduce to nearest-neighbor matching; contended crossings resolve
+to the global optimum instead of greedy order.  Equal-cost optima break
+ties deterministically (lowest feature index first).
 """
 from __future__ import annotations
 
@@ -61,13 +65,13 @@ def link(
 
 
 class Linker:
-    """Incremental greedy-by-distance frame linker (host).
+    """Incremental subnet-optimal frame linker (host).
 
     Holds the active-track state between frames so linking can stream —
     the checkpoint/resume path (pipeline.track with ``checkpoint_dir``)
     serializes ``state()`` and resumes with ``from_state``.  ``link()``
     drives it over whole DataFrames; semantics are the module-docstring
-    tie-breaking contract.
+    assignment contract (per-subnet minimum total squared displacement).
     """
 
     def __init__(self, search_range: float, memory: int = 0):
@@ -97,28 +101,58 @@ class Linker:
         if self.track_pos and k:
             tp = np.asarray(self.track_pos)
             tree = cKDTree(tp)
-            # all candidate pairs within range, sorted by distance
-            dists, tidx = tree.query(
-                pos, k=min(len(tp), 4),
-                distance_upper_bound=self.search_range,
-            )
-            dists = np.atleast_2d(dists)
-            tidx = np.atleast_2d(tidx)
-            cand = [
-                (dists[j, c], j, tidx[j, c])
-                for j in range(k)
-                for c in range(dists.shape[1])
-                if np.isfinite(dists[j, c])
-            ]
-            cand.sort()
-            used_tracks = set()
-            for d, j, ti in cand:
-                if assigned[j] >= 0 or ti in used_tracks:
+            # every candidate (feature, track) pair within search_range
+            cand_lists = tree.query_ball_point(pos, r=self.search_range)
+
+            # subnets = connected components of the candidate bipartite
+            # graph (union-find over features ∪ tracks)
+            parent = {}
+
+            def find(a):
+                while parent.setdefault(a, a) != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            def union(a, b):
+                parent[find(a)] = find(b)
+
+            for j, tis in enumerate(cand_lists):
+                for ti in tis:
+                    union(("f", j), ("t", ti))
+            subnets = {}
+            for j, tis in enumerate(cand_lists):
+                if not tis:
                     continue
-                assigned[j] = self.track_id[ti]
-                used_tracks.add(ti)
-                self.track_pos[ti] = pos[j]
-                self.track_seen[ti] = t
+                root = find(("f", j))
+                feats, tracks = subnets.setdefault(root, ([], set()))
+                feats.append(j)
+                tracks.update(tis)
+
+            sr2 = self.search_range ** 2
+            from scipy.optimize import linear_sum_assignment
+
+            for feats, tracks in subnets.values():
+                tracks = sorted(tracks)
+                F, Tn = len(feats), len(tracks)
+                # trackpy subnet objective: min Σ cost where a linked
+                # feature costs d² and an unlinked one costs SR²; tracks
+                # may go unmatched free.  Columns = tracks + one null
+                # per feature.
+                cost = np.full((F, Tn + F), 4.0 * sr2)
+                for r, j in enumerate(feats):
+                    cost[r, Tn + r] = sr2
+                    for c, ti in enumerate(tracks):
+                        d2 = float(np.sum((pos[j] - tp[ti]) ** 2))
+                        if d2 <= sr2:
+                            cost[r, c] = d2
+                rows, cols = linear_sum_assignment(cost)
+                for r, c in zip(rows, cols):
+                    if c < Tn and cost[r, c] <= sr2:
+                        j, ti = feats[r], tracks[c]
+                        assigned[j] = self.track_id[ti]
+                        self.track_pos[ti] = pos[j]
+                        self.track_seen[ti] = t
 
         for j in range(k):
             if assigned[j] < 0:

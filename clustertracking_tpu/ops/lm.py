@@ -321,10 +321,21 @@ def lm_solve_global(
             converged | conv_now,
         )
 
-    _, x, cost, _, _, converged = jax.lax.while_loop(cond, body, init)
+    it, x, _, _, _, converged = jax.lax.while_loop(cond, body, init)
+    # Per-lane cost contract (SURVEY.md §1: the `cost` column is per fit):
+    # one extra residual evaluation at the solution — the loop itself only
+    # carries the joint summed cost, which must NOT be broadcast per lane
+    # (it inflates per-lane rms by ~sqrt(B·Npix_total/Npix) and breaks
+    # max_rms_dev rejection for global-mode buckets).
+    r_fin = residual_fn(x, *args)
+    lane_cost = jnp.sum(
+        r_fin * r_fin, axis=tuple(range(1, r_fin.ndim))
+    )
+    # All lanes move in lockstep under one shared damping factor, so the
+    # joint iteration count is every valid lane's iteration count.
     return LMResult(
         x=x,
-        cost=jnp.full((B,), cost, dtype),
-        n_iter=jnp.zeros((B,), jnp.int32),
-        converged=jnp.full((B,), converged),
+        cost=lane_cost,
+        n_iter=jnp.where(valid, it, 0).astype(jnp.int32),
+        converged=jnp.full((B,), converged) & valid,
     )

@@ -5,11 +5,25 @@ candidate location").
 The reference pipeline seeds find_clusters with above-threshold local
 maxima from trackpy's grey_dilation.  On TPU: local maxima come from a
 ``lax.reduce_window`` max-pool (window = separation), candidates are
-compacted to a *fixed-size* coordinate list with ``jax.lax.top_k`` over the
-masked response — static shapes throughout, padding flagged by ``valid``.
+compacted to a *fixed-size* coordinate list — static shapes throughout,
+padding flagged by ``valid``.
+
+Two selection paths with identical results when the frame has at most
+``max_features`` candidates:
+
+- ``local_maxima``: O(N) cumsum compaction + a sort of only the compacted
+  list.  When a frame OVERFLOWS (more candidates than ``max_features``),
+  this path keeps the first ``max_features`` in raster order — callers
+  must check the returned candidate count and re-run overflowed frames
+  through ``local_maxima_topk`` (what ``grey_dilation`` and the pipeline
+  do), because raster-order truncation silently drops bright features low
+  in the frame.
+- ``local_maxima_topk``: exact brightest-first selection via a full-frame
+  ``lax.top_k`` — a device sort, measured seconds per 512² frame on TPU,
+  so it is only dispatched for the (rare) saturated frames.
 
 Sub-pixel is not needed here (refine_leastsq does that); candidates are
-integer pixel positions, optionally refined by a centroid step.
+integer pixel positions.
 """
 from __future__ import annotations
 
@@ -20,23 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["grey_dilation", "local_maxima"]
+__all__ = ["grey_dilation", "local_maxima", "local_maxima_topk"]
 
 
-@partial(jax.jit, static_argnames=("separation", "max_features"))
-def local_maxima(
-    image,
-    separation: Tuple[int, ...],
-    max_features: int,
-    threshold: float = 0.0,
-):
-    """Strict local maxima over a per-axis ``separation`` window.
-
-    Returns (coords [max_features, D] int32, values [max_features],
-    valid [max_features] bool), brightest-first.  Ties within a window are
-    broken toward the lexicographically-first pixel via an index epsilon,
-    mirroring grey_dilation's deterministic pick.
-    """
+def _candidate_mask(image, separation: Tuple[int, ...], threshold):
+    """Strict local-maxima mask with grey_dilation's deterministic
+    tie-break: among value-tied pixels within a window, only the lowest
+    flat index wins."""
     D = image.ndim
     window = tuple(int(s) | 1 for s in separation)  # odd windows
     img = image.astype(jnp.float32)
@@ -51,9 +55,7 @@ def local_maxima(
             padding="SAME",
         )
 
-    # pass 1: window maxima; pass 2: exact tie-break on plateaus — among
-    # value-tied candidates in a window, only the lowest flat index wins
-    # (grey_dilation's deterministic pick).
+    # pass 1: window maxima; pass 2: exact tie-break on plateaus
     cand = (img >= dilate(img)) & (img > threshold)
     n_total = int(np.prod(image.shape))
     neg_idx = jnp.where(
@@ -62,12 +64,33 @@ def local_maxima(
         -jnp.inf,
     )
     is_max = cand & (neg_idx >= dilate(neg_idx))
+    return img, is_max
+
+
+@partial(jax.jit, static_argnames=("separation", "max_features"))
+def local_maxima(
+    image,
+    separation: Tuple[int, ...],
+    max_features: int,
+    threshold: float = 0.0,
+):
+    """Local maxima compacted to a fixed-size list, brightest-first.
+
+    Returns (coords [max_features, D] int32, values [max_features],
+    valid [max_features] bool, n_cand int32).  ``n_cand`` is the TOTAL
+    number of candidates in the frame; when ``n_cand > max_features`` the
+    compaction kept the first ``max_features`` in RASTER order (not the
+    brightest) — re-run such frames through :func:`local_maxima_topk`.
+    """
+    img, is_max = _candidate_mask(image, separation, threshold)
+    n_total = int(np.prod(image.shape))
 
     # Compact candidates to the fixed-size output WITHOUT a full-image
     # sort (lax.top_k over the whole frame is a device sort — seconds per
     # 512² frame on TPU): O(N) cumsum scatter into max_features slots,
-    # then sort only the compacted list so the brightest-first contract
-    # (and its lowest-flat-index tie-break) is preserved.
+    # then sort only the compacted list so the brightest-first ordering
+    # (and its lowest-flat-index tie-break) holds whenever the frame did
+    # not overflow.
     flags = is_max.reshape(-1)
     rank = jnp.cumsum(flags.astype(jnp.int32)) - 1
     dest = jnp.where(
@@ -88,7 +111,35 @@ def local_maxima(
         jnp.unravel_index(flat_idx, image.shape), axis=-1
     ).astype(jnp.int32)
     valid = jnp.isfinite(vals)
-    return coords, vals, valid
+    n_cand = jnp.sum(flags.astype(jnp.int32))
+    return coords, vals, valid, n_cand
+
+
+@partial(jax.jit, static_argnames=("separation", "max_features"))
+def local_maxima_topk(
+    image,
+    separation: Tuple[int, ...],
+    max_features: int,
+    threshold: float = 0.0,
+):
+    """Exact brightest-first selection via full-frame ``lax.top_k``.
+
+    Same contract as :func:`local_maxima`, but on an overflowed frame the
+    GLOBALLY brightest ``max_features`` candidates are kept (XLA top_k
+    returns lower indices first among equal values, matching the
+    lowest-flat-index tie-break).  Costs a device sort of the whole frame
+    — use only for frames :func:`local_maxima` reports as overflowed.
+    """
+    img, is_max = _candidate_mask(image, separation, threshold)
+    key = jnp.where(is_max, img, -jnp.inf).reshape(-1)
+    vals, flat_idx = jax.lax.top_k(key, max_features)
+    coords = jnp.stack(
+        jnp.unravel_index(flat_idx.astype(jnp.int32), image.shape),
+        axis=-1,
+    ).astype(jnp.int32)
+    valid = jnp.isfinite(vals)
+    n_cand = jnp.sum(is_max.astype(jnp.int32))
+    return coords, vals, valid, n_cand
 
 
 def grey_dilation(
@@ -99,7 +150,13 @@ def grey_dilation(
     threshold=None,
 ):
     """trackpy.grey_dilation-compatible wrapper: threshold defaults to the
-    given percentile of the image. Returns (coords, signal, valid)."""
+    given percentile of the image. Returns (coords, signal, valid).
+
+    Overflow-safe: if the frame has more candidates than ``max_features``,
+    the exact top-k path re-runs so the returned set is the globally
+    brightest ``max_features`` (a saturation warning is logged)."""
+    import logging
+
     image = jnp.asarray(image)
     if threshold is None:
         threshold = float(np.percentile(np.asarray(image), percentile))
@@ -107,4 +164,16 @@ def grey_dilation(
         (separation,) * image.ndim
     )
     sep = tuple(int(round(s)) for s in sep)
-    return local_maxima(image, sep, max_features, threshold)
+    coords, vals, valid, n_cand = local_maxima(
+        image, sep, max_features, threshold
+    )
+    if int(n_cand) > max_features:
+        logging.getLogger(__name__).warning(
+            "grey_dilation: %d candidates exceed max_features=%d; "
+            "keeping the brightest (raise max_features or threshold)",
+            int(n_cand), max_features,
+        )
+        coords, vals, valid, n_cand = local_maxima_topk(
+            image, sep, max_features, threshold
+        )
+    return coords, vals, valid

@@ -100,6 +100,10 @@ def sharded_fit(
         and not np.any(
             layout.global_slots
         )
+        # with compute_error the 5th solver output (std) is per-lane, but
+        # the out_specs below declare it replicated (only correct for the
+        # shape-(0,) placeholder) — keep the GSPMD path in that case
+        and not defaults["compute_error"]
     )
     if use_shard_map:
         # pallas_call outputs carry no varying-mesh-axes metadata, so the

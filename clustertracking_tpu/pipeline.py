@@ -81,7 +81,7 @@ def track(
     threshold=None,
     percentile: float = 64.0,
     max_features: int = 4096,
-    link_backend: str = "device",
+    link_backend: Optional[str] = None,
     find_backend: str = "host",
     t_column: str = "frame",
     checkpoint_dir: Optional[str] = None,
@@ -98,11 +98,22 @@ def track(
     ``checkpoint_every``-frame chunks, persisting accumulated results and
     the incremental linker state after each chunk.  Re-running the same
     call resumes from the last completed chunk; results are identical to a
-    single-shot run (the linker is deterministic and its state is
-    serialized exactly)."""
+    single-shot run with ``link_backend='host'`` (the incremental host
+    linker is deterministic and its state is serialized exactly — the
+    device scan linker has no serializable incremental form, so
+    ``link_backend='device'`` is rejected with a checkpoint_dir).
+
+    ``link_backend`` defaults to 'device' for single-shot runs and 'host'
+    for checkpointed runs."""
     if n_frames is None:
         n_frames = len(reader)
     if checkpoint_dir is not None:
+        if link_backend not in (None, "host"):
+            raise ValueError(
+                "checkpointed track() links with the serializable host "
+                "Linker; link_backend='device' is not resumable — omit "
+                "link_backend or pass 'host'"
+            )
         return _track_checkpointed(
             reader, diameter, separation, search_range, memory, n_frames,
             locate_separation, threshold, percentile, max_features,
@@ -135,7 +146,7 @@ def track(
         search_range = float(np.mean(validate_tuple(diameter, ndim)))
     return _link(
         f, search_range, memory=memory, t_column=t_column,
-        backend=link_backend,
+        backend=link_backend if link_backend is not None else "device",
     )
 
 
@@ -186,7 +197,7 @@ def _locate_frames(
             thr = np.full(T, threshold, np.float32)
         sep = tuple(int(round(s)) for s in locate_separation)
 
-        coords, vals, valid = jax.jit(
+        coords, vals, valid, n_cand = jax.jit(
             jax.vmap(
                 lambda im, th: local_maxima(im, sep, max_features, th)
             )
@@ -194,6 +205,19 @@ def _locate_frames(
         coords = np.asarray(coords)
         vals = np.asarray(vals)
         valid = np.asarray(valid)
+        n_cand = np.asarray(n_cand)
+        # Saturated frames (more candidates than max_features) got a
+        # raster-order truncation from the cumsum compaction; re-run just
+        # those through the exact brightest-first top-k path.
+        for j in np.nonzero(n_cand > max_features)[0]:
+            from .ops.locate import local_maxima_topk
+
+            c_j, v_j, ok_j, _ = local_maxima_topk(
+                jnp.asarray(stack[j]), sep, max_features, float(thr[j])
+            )
+            coords[j] = np.asarray(c_j)
+            vals[j] = np.asarray(v_j)
+            valid[j] = np.asarray(ok_j)
         ndim = stack.ndim - 1
         pos_columns = default_pos_columns(ndim)
         for j, t in enumerate(chunk):

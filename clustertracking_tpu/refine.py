@@ -56,6 +56,7 @@ from .models.packing import build_layout
 from .models.registry import ModelSpec, get_model
 from .ops.gather import origins_for, radius_mask
 from .ops.lm import lm_solve, lm_solve_global
+from .ops.pallas_lm import pallas_available
 from .ops.residual import make_model_fns
 from .utils import (
     default_size_columns,
@@ -357,6 +358,7 @@ def _bucket_solver(
                 model, layout, window_shape, lo_np, hi_np, radius,
                 max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
                 frame_shape=frame_shape,
+                constraint=constraint if rigid else None,
             )
 
         fused = use_pallas and getattr(pallas_solve, "fused_gather", False)
@@ -788,12 +790,26 @@ def refine_leastsq(
                 iters = np.asarray(iters)
                 std = np.asarray(std) if compute_error else None
             ok_lane = (rms <= max_rms_dev) & np.isfinite(rms) & valid
+            # mirrors _bucket_solver's use_pallas decision — a config
+            # pallas_available rejects (e.g. window too big for VMEM, 3D
+            # rigid pose) actually ran the XLA path and must be recorded
+            # as such
+            ug = bool(
+                np.any(layout.global_slots)
+                or (con is not None and con.kind == "rigid"
+                    and con.fit_dist and con.dist_mode == "global")
+            )
+            on_pallas = (
+                jax.default_backend() == "tpu"
+                and lm_backend != "xla"
+                and pallas_available(model, layout, ug, con, wshape)
+            )
             if con is not None:
-                backend_str = "xla-rigid" if con.kind == "rigid" else \
-                    "xla-penalty"
-            elif np.any(layout.global_slots):
+                kind = "rigid" if con.kind == "rigid" else "penalty"
+                backend_str = ("pallas-" if on_pallas else "xla-") + kind
+            elif ug:
                 backend_str = "xla-global"
-            elif jax.default_backend() == "tpu" and lm_backend != "xla":
+            elif on_pallas:
                 backend_str = "pallas"
             else:
                 backend_str = "xla"

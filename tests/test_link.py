@@ -2,7 +2,9 @@
 trajectories (SURVEY.md §2 external-linking parity)."""
 import numpy as np
 import pandas as pd
+import pytest
 
+import clustertracking_tpu as ct
 from clustertracking_tpu import link
 
 
@@ -94,3 +96,67 @@ def test_many_random_walkers(rng):
     # every frame-0 particle persists through all T frames
     counts = out.groupby("particle").size()
     assert (counts == T).sum() >= n - 2  # allow rare close encounters
+
+
+def test_subnet_optimal_beats_greedy():
+    """Contended subnet where greedy-by-distance strands a track: the
+    optimal assignment links both features (trackpy's subnet objective:
+    min Σd², unlinked feature costs search_range²)."""
+    f = pd.DataFrame({
+        "y": [0.0, 0.0, 0.0, 0.0],
+        "x": [0.0, 1.0, 0.55, 1.8],
+        "frame": [0, 0, 1, 1],
+    })
+    out = link(f, search_range=1.0, backend="host")
+    p = out["particle"].to_numpy()
+    # greedy would give B→f1 (0.45) and strand A and f2 → 3 tracks;
+    # optimal links A→f1 (0.55) and B→f2 (0.8) → 2 tracks
+    assert len(np.unique(p)) == 2
+    assert p[2] == p[0]  # (0,0.55) continues the x=0 track
+    assert p[3] == p[1]  # (0,1.8) continues the x=1 track
+
+
+def test_subnet_optimal_matches_bruteforce(rng):
+    """Random contended frames: the incremental linker's per-frame
+    assignment cost equals the brute-force optimum of the trackpy subnet
+    objective."""
+    from itertools import permutations
+
+    from clustertracking_tpu.link import Linker
+
+    sr = 1.0
+    for trial in range(25):
+        n_t = int(rng.integers(1, 5))
+        n_f = int(rng.integers(1, 5))
+        tracks = rng.uniform(0, 3, (n_t, 2))
+        feats = rng.uniform(0, 3, (n_f, 2))
+
+        lk = Linker(sr, 0)
+        lk.advance(0, tracks)
+        ids = lk.advance(1, feats)
+        # cost of the linker's assignment
+        got = 0.0
+        for j in range(n_f):
+            if ids[j] < n_t:  # linked to an existing track
+                got += float(np.sum((feats[j] - tracks[ids[j]]) ** 2))
+            else:
+                got += sr ** 2
+
+        # brute force over all injective feature→track∪{null} maps
+        best = np.inf
+        slots = list(range(n_t)) + [-1] * n_f
+        for perm in set(permutations(slots, n_f)):
+            cost = 0.0
+            ok = True
+            for j, s in enumerate(perm):
+                if s < 0:
+                    cost += sr ** 2
+                else:
+                    d2 = float(np.sum((feats[j] - tracks[s]) ** 2))
+                    if d2 > sr ** 2:
+                        ok = False
+                        break
+                    cost += d2
+            if ok:
+                best = min(best, cost)
+        assert got == pytest.approx(best, abs=1e-9), trial

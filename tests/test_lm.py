@@ -140,3 +140,46 @@ def test_global_slot_tying(rng):
     assert np.ptp(x[:, 0]) < 1e-5
     assert abs(x[0, 0] - a_shared) < 1e-3
     np.testing.assert_allclose(x[:, 1], m_true, atol=1e-3)
+
+
+def test_global_per_lane_cost_and_iters(rng):
+    """The joint solve must report PER-LANE cost (sum r² of that lane at
+    the solution) and a real iteration count — not the joint summed cost
+    broadcast to every lane (which inflates per-lane rms ~√B and breaks
+    max_rms_dev rejection downstream)."""
+    B, npts = 64, 32
+    t = np.linspace(-2, 2, npts).astype(np.float32)
+    # lanes share one amplitude; per-lane noise makes per-lane residuals
+    # genuinely different at the optimum
+    a_shared, m_true = 5.0, rng.uniform(-0.5, 0.5, B).astype(np.float32)
+    noise = (rng.normal(0, 0.05, (B, npts))
+             * np.linspace(0.2, 3.0, B)[:, None]).astype(np.float32)
+    y = (a_shared * np.exp(-((t[None] - m_true[:, None]) ** 2) / 2.0)
+         + noise).astype(np.float32)
+
+    def residual(x, y):
+        return x[:, 0:1] * jnp.exp(-((t[None] - x[:, 1:2]) ** 2) / 2.0) - y
+
+    def residual_jac(x, y):
+        r = residual(x, y)
+        J = jax.jacfwd(lambda v: residual(v, y))(x)
+        return r, jnp.einsum("bnbv->bvn", J)
+
+    x0 = np.stack(
+        [np.full(B, 4.0), m_true + rng.normal(0, 0.1, B)], -1
+    ).astype(np.float32)
+    res = lm_solve_global(
+        residual, residual_jac, jnp.asarray(x0), (True, False),
+        (jnp.asarray(y),),
+    )
+    # (a) per-lane cost == that lane's sum of squared residuals at x
+    r_at_x = np.asarray(residual(res.x, jnp.asarray(y)))
+    lane_cost = (r_at_x ** 2).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(res.cost), lane_cost,
+                               rtol=1e-5, atol=1e-7)
+    # lanes with larger noise have larger cost — per-lane discrimination
+    assert np.asarray(res.cost)[-8:].mean() > \
+        10 * np.asarray(res.cost)[:8].mean()
+    # (c) real iteration counts
+    assert (np.asarray(res.n_iter) > 0).all()
+    assert np.asarray(res.converged).all()

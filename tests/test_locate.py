@@ -11,7 +11,7 @@ def test_finds_isolated_features():
     truth = np.array([[10, 12], [30, 40], [50, 20]], float)
     for p in truth:
         artificial.draw_feature(img, p, 2.0, signal=100.0)
-    coords, vals, valid = local_maxima(img, (5, 5), max_features=8,
+    coords, vals, valid, _ = local_maxima(img, (5, 5), max_features=8,
                                        threshold=10.0)
     coords = np.asarray(coords)[np.asarray(valid)]
     assert len(coords) == 3
@@ -24,7 +24,7 @@ def test_threshold_excludes_dim_features():
     img = np.zeros((64, 64), np.float32)
     artificial.draw_feature(img, (10, 10), 2.0, signal=100.0)
     artificial.draw_feature(img, (40, 40), 2.0, signal=5.0)
-    coords, vals, valid = local_maxima(img, (5, 5), max_features=8,
+    coords, vals, valid, _ = local_maxima(img, (5, 5), max_features=8,
                                        threshold=20.0)
     assert int(np.asarray(valid).sum()) == 1
 
@@ -33,7 +33,7 @@ def test_brightest_first_and_padding():
     img = np.zeros((32, 32), np.float32)
     artificial.draw_feature(img, (8, 8), 1.5, signal=50.0)
     artificial.draw_feature(img, (20, 20), 1.5, signal=150.0)
-    coords, vals, valid = local_maxima(img, (5, 5), max_features=4,
+    coords, vals, valid, _ = local_maxima(img, (5, 5), max_features=4,
                                        threshold=1.0)
     vals = np.asarray(vals)
     assert np.asarray(valid).sum() == 2
@@ -44,7 +44,7 @@ def test_brightest_first_and_padding():
 def test_plateau_gives_single_maximum():
     img = np.zeros((32, 32), np.float32)
     img[10:12, 10:12] = 7.0  # 2x2 exact plateau
-    coords, vals, valid = local_maxima(img, (5, 5), max_features=4,
+    coords, vals, valid, _ = local_maxima(img, (5, 5), max_features=4,
                                        threshold=1.0)
     assert int(np.asarray(valid).sum()) == 1
 
@@ -66,6 +66,64 @@ def test_dense_frame_counts():
     )
     for p in truth:
         artificial.draw_feature(img, p, 2.0, signal=100.0)
-    coords, vals, valid = local_maxima(img, (7, 7), max_features=64,
+    coords, vals, valid, _ = local_maxima(img, (7, 7), max_features=64,
                                        threshold=20.0)
     assert int(np.asarray(valid).sum()) == len(truth)
+
+
+def test_overflow_keeps_brightest():
+    """When a frame has more candidate maxima than max_features, the
+    pipeline must keep the globally BRIGHTEST ones, not the first in
+    raster order.  Regression: the cumsum compaction alone kept 8 dim
+    top-row maxima and silently dropped 4 bright bottom-row ones."""
+    from clustertracking_tpu.ops.locate import local_maxima_topk
+
+    img = np.zeros((64, 64), np.float32)
+    dim = [(6, 6 + 7 * k) for k in range(8)]       # top row, val 10
+    bright = [(56, 8 + 12 * k) for k in range(4)]  # bottom row, val 100
+    for y, x in dim:
+        img[y, x] = 10.0
+    for y, x in bright:
+        img[y, x] = 100.0
+
+    coords, vals, valid, n_cand = local_maxima(
+        img, (5, 5), max_features=4, threshold=1.0
+    )
+    assert int(n_cand) == 12  # overflow is detected and reported
+
+    # the exact path returns precisely the bright maxima
+    coords, vals, valid, n_cand = local_maxima_topk(
+        img, (5, 5), max_features=4, threshold=1.0
+    )
+    assert int(n_cand) == 12
+    got = {tuple(c) for c in np.asarray(coords)[np.asarray(valid)]}
+    assert got == set(bright)
+    assert (np.asarray(vals)[np.asarray(valid)] == 100.0).all()
+
+    # grey_dilation composes the two: overflow triggers the exact path
+    coords, vals, valid = grey_dilation(
+        img, 5, max_features=4, threshold=1.0
+    )
+    got = {tuple(c) for c in np.asarray(coords)[np.asarray(valid)]}
+    assert got == set(bright)
+
+
+def test_topk_matches_compaction_when_no_overflow():
+    img = np.zeros((64, 64), np.float32)
+    truth = artificial.gen_nonoverlapping_locations(
+        (64, 64), 12, separation=9, margin=6, rng=5
+    )
+    rngv = np.random.default_rng(2)
+    for p in truth:
+        artificial.draw_feature(img, p, 2.0,
+                                signal=float(rngv.uniform(50, 150)))
+    from clustertracking_tpu.ops.locate import local_maxima_topk
+
+    a = local_maxima(img, (5, 5), max_features=16, threshold=10.0)
+    b = local_maxima_topk(img, (5, 5), max_features=16, threshold=10.0)
+    ok = np.asarray(a[2])
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    np.testing.assert_array_equal(np.asarray(a[0])[ok],
+                                  np.asarray(b[0])[ok])
+    np.testing.assert_array_equal(np.asarray(a[1])[ok],
+                                  np.asarray(b[1])[ok])

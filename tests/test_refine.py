@@ -391,3 +391,60 @@ def test_parity_vs_host_scipy_3d_aniso():
         out[["size_z", "size_y", "size_x"]].to_numpy(),
         params_s[:, 5:8], atol=0.05,
     )
+
+
+def test_global_mode_per_lane_rejection():
+    """In a 'global'-tied bucket, max_rms_dev must reject ONLY the lanes
+    whose own residual is bad.  Regression: lm_solve_global used to
+    broadcast the joint summed cost to every lane, so one bad lane
+    inflated every lane's rms by ~√(B·Npix_total/Npix) and the whole
+    bucket was rejected (or none, with tiny noiseless test batches)."""
+    rng = np.random.default_rng(7)
+    size_g = 2.2
+    H = W = 160
+    img = np.zeros((H, W))
+    pitch = 16
+    cells = [
+        (y, x)
+        for y in range(10, H - 6, pitch)
+        for x in range(10, W - 6, pitch)
+    ]
+    B = len(cells)  # 100 lanes
+    bad = set(range(0, B, 12))
+    rows = []
+    for b in range(B):
+        center = np.asarray(cells[b], float) + rng.uniform(-1, 1, 2)
+        if b in bad:
+            # junk the window: a bright checkerboard that no smooth
+            # model explains anywhere → high per-lane residual
+            yy, xx = int(center[0]), int(center[1])
+            yg, xg = np.mgrid[yy - 4:yy + 5, xx - 4:xx + 5]
+            img[yy - 4:yy + 5, xx - 4:xx + 5] = \
+                250.0 * ((yg + xg) % 2)
+        else:
+            artificial.draw_feature(img, center, size_g, 200.0)
+        rows.append({"frame": 0, "y": center[0] + 0.2,
+                     "x": center[1] - 0.2,
+                     "signal": 200.0, "size": size_g})
+    f = pd.DataFrame(rows)
+    out = ct.refine_leastsq(
+        f, img, diameter=9, separation=6,
+        param_mode={"size": "global"}, max_rms_dev=0.1,
+    )
+    good = np.array([b not in bad for b in range(B)])
+    # per-lane discrimination: every good lane accepted, every bad lane
+    # rejected (cost NaN, original coordinates kept)
+    assert out["cost"][good].notna().all()
+    assert out["cost"][~good].isna().all()
+    # accepted fits actually solved their problems
+    err = np.hypot(out["y"][good] - (f["y"][good] - 0.2),
+                   out["x"][good] - (f["x"][good] + 0.2))
+    assert float(err.max()) < 0.05
+    # the tied slot is identical across accepted lanes; corrupted lanes
+    # participate in the joint solve before post-hoc rejection, so the
+    # shared estimate carries some bias — only require the right scale
+    sizes = out["size"][good].to_numpy()
+    assert np.ptp(sizes) < 1e-4
+    assert abs(sizes[0] - size_g) < 0.25
+    # real per-lane iteration counts flow through
+    assert (out["fit_n_iter"] > 0).all()
