@@ -1,18 +1,23 @@
 """On-device frame-to-frame linking as a lax.scan (SURVEY.md §7 M7).
 
 The host linker (clustertracking_tpu/link.py) is the behavioral reference
-(greedy-by-distance, trackpy semantics); this device version keeps the
-whole dense pipeline on-chip (BASELINE config 5).  Design:
+(per-subnet optimal assignment, trackpy semantics); this device version
+keeps the whole dense pipeline on-chip (BASELINE config 5).  Design:
 
 - features per frame are padded to a static K; tracks live in a static
   ring buffer of M = K·(memory+2) slots (new tracks overwrite the oldest
   slots — sized so an active track is never evicted early);
-- matching per frame runs R rounds of *mutual nearest neighbor*: a
-  (feature, track) pair links iff each is the other's nearest and their
-  distance ≤ search_range.  Unresolved contended features after R rounds
-  start new tracks.  On unambiguous frames this equals the host/trackpy
-  assignment; contended subnets may differ (documented tie-breaking,
-  SURVEY.md §7 hard-parts #5) — the host linker remains the exact path;
+- matching per frame is a parallel AUCTION on the masked [K, M] squared-
+  distance matrix: unassigned features bid for their cheapest track at a
+  price increment of (second-best − best) + ε, every track accepts its
+  highest bidder, outbid features return to the pool, and a feature whose
+  best effective cost exceeds ``search_range²`` takes the null option
+  (starts a new track) — the same objective the host linker solves
+  exactly per subnet (min Σd², unlinked feature costs search_range²).
+  Auction terminates at an ε-optimal assignment; with ε = 1e-5·SR² that
+  is the exact optimum for any subnet whose cost gaps exceed ε·K — i.e.
+  all non-degenerate crossings.  Mutual-NN pairs resolve in round one, so
+  uncontended frames cost one pass, like the old mutual-NN scheme;
 - ``memory`` semantics match trackpy: a track unseen for ≤ memory frames
   can still claim a feature.
 
@@ -32,19 +37,20 @@ _BIG = jnp.float32(1e30)
 
 @partial(
     jax.jit,
-    static_argnames=("search_range", "memory", "nn_rounds"),
+    static_argnames=("search_range", "memory", "auction_rounds"),
 )
 def link_on_device(
     positions,
     valid,
     search_range: float,
     memory: int = 0,
-    nn_rounds: int = 4,
+    auction_rounds: int = 64,
 ):
     """positions [T, K, D] f32, valid [T, K] bool → particle [T, K] i32."""
     T, K, D = positions.shape
     M = K * (memory + 2)
     r2max = jnp.float32(search_range) ** 2
+    eps = r2max * jnp.float32(1e-5) + jnp.float32(1e-12)
 
     def step(state, inputs):
         tpos, tage, tid, ptr, next_id = state
@@ -58,34 +64,67 @@ def link_on_device(
         d2 = jnp.where(ok[:, None] & alive[None, :], d2, _BIG)
         d2 = jnp.where(d2 <= r2max, d2, _BIG)
 
-        feat_track = jnp.full((K,), -1, jnp.int32)  # matched track per feat
+        # ---- auction ----
+        # state: prices [M], owner [M] (feature or -1), feat_track [K]
+        # (-1 unresolved, -2 null), all features with no candidate at all
+        # go null immediately
+        has_cand = jnp.any(d2 < _BIG, axis=1)
+        ft0 = jnp.where(ok & has_cand, -1, -2)
 
-        def round_body(_, carry):
-            d2, feat_track = carry
-            fb = jnp.argmin(d2, axis=1)               # [K] best track
-            fmin = jnp.take_along_axis(
-                d2, fb[:, None], axis=1
-            )[:, 0]
-            tb = jnp.argmin(d2, axis=0)               # [M] best feature
-            mutual = (
-                (tb[fb] == jnp.arange(K))
-                & (fmin < _BIG)
-                & (feat_track < 0)
-            )
-            feat_track = jnp.where(mutual, fb.astype(jnp.int32),
-                                   feat_track)
-            # knock matched rows/cols out of the distance matrix
-            row_dead = mutual
-            col_dead = jnp.zeros((M,), bool).at[fb].max(mutual)
-            d2 = jnp.where(
-                row_dead[:, None] | col_dead[None, :], _BIG, d2
-            )
-            return d2, feat_track
+        def cond(carry):
+            it, p, owner, feat_track = carry
+            return (it < auction_rounds) & jnp.any(feat_track == -1)
 
-        d2, feat_track = jax.lax.fori_loop(
-            0, nn_rounds, round_body, (d2, feat_track)
+        def bid_round(carry):
+            it, p, owner, feat_track = carry
+            active = feat_track == -1
+            v = jnp.where(active[:, None], d2 + p[None, :], _BIG)
+            b1 = jnp.argmin(v, axis=1)                       # [K]
+            v1 = jnp.take_along_axis(v, b1[:, None], 1)[:, 0]
+            v_wo = v.at[jnp.arange(K), b1].set(_BIG)
+            v2 = jnp.min(v_wo, axis=1)
+            v2n = jnp.minimum(v2, r2max)   # null is always an option
+            # null strictly better than any track → start a new track;
+            # prices only rise, so this is final
+            go_null = active & (r2max < v1)
+            feat_track = jnp.where(go_null, -2, feat_track)
+            bidding = active & ~go_null & (v1 < _BIG)
+            bid_amt = jnp.where(bidding, v2n - v1 + eps, -_BIG)
+            # per-track highest bid; ties resolve to the lowest feature
+            # index (argmax picks the first maximum)
+            bidmat = jnp.where(
+                bidding[:, None]
+                & (b1[:, None] == jnp.arange(M)[None, :]),
+                bid_amt[:, None],
+                -_BIG,
+            )                                               # [K, M]
+            maxbid = jnp.max(bidmat, axis=0)                # [M]
+            winner = jnp.argmax(bidmat, axis=0)             # [M]
+            won = maxbid > -_BIG / 2
+            # outbid previous owners return to the pool (-1/no-owner maps
+            # to K which mode="drop" discards; a bare -1 would WRAP)
+            prev = jnp.where(won & (owner >= 0), owner, K)  # [M]
+            feat_track = feat_track.at[prev].set(-1, mode="drop")
+            owner = jnp.where(won, winner, owner)
+            p = jnp.where(won, p + maxbid, p)
+            # winners take their track
+            win_i = jnp.where(won, jnp.arange(M), -1)
+            feat_track = feat_track.at[
+                jnp.where(won, winner, K)
+            ].set(win_i, mode="drop")
+            return it + 1, p, owner, feat_track
+
+        _, _, _, feat_track = jax.lax.while_loop(
+            cond,
+            bid_round,
+            (
+                jnp.int32(0),
+                jnp.zeros((M,), jnp.float32),
+                jnp.full((M,), -1, jnp.int32),
+                ft0,
+            ),
         )
-
+        # unresolved after the round cap behave like null (new track)
         matched = feat_track >= 0
         safe_track = jnp.where(matched, feat_track, 0)
 

@@ -110,3 +110,60 @@ def test_device_link_frame_gap_respects_memory():
     out1_h = link(f.copy(), 3.0, memory=1, backend="host")
     assert out1_d["particle"].nunique() == 1
     assert out1_h["particle"].nunique() == 1
+
+
+def test_device_auction_matches_host_on_contended_subnet():
+    """Ambiguous crossing where greedy/mutual-NN strands a track: the
+    device auction must reach the same subnet-optimal assignment as the
+    host Hungarian (min Σd², unlinked feature costs search_range²)."""
+    import pandas as pd
+
+    from clustertracking_tpu import link
+
+    f = pd.DataFrame({
+        "y": [0.0, 0.0, 0.0, 0.0],
+        "x": [0.0, 1.0, 0.55, 1.8],
+        "frame": [0, 0, 1, 1],
+    })
+    out_h = link(f.copy(), 1.0, backend="host")
+    out_d = link(f.copy(), 1.0, backend="device")
+    ph = out_h["particle"].to_numpy()
+    pd_ = out_d["particle"].to_numpy()
+    assert len(np.unique(ph)) == 2
+    assert len(np.unique(pd_)) == 2
+    # identical continuation structure
+    assert (ph[2] == ph[0]) and (pd_[2] == pd_[0])
+    assert (ph[3] == ph[1]) and (pd_[3] == pd_[1])
+
+
+def test_device_auction_matches_host_random_crossings(rng):
+    """Random dense frames with many contended subnets: device auction
+    and host Hungarian must produce identical assignment COSTS (the
+    objective value pins optimality; id numbering may differ)."""
+    import pandas as pd
+
+    from clustertracking_tpu import link
+
+    sr = 1.2
+    for trial in range(6):
+        n = 14
+        a = rng.uniform(0, 6, (n, 2))
+        b = a + rng.normal(0, 0.5, (n, 2))  # crowded, ambiguous moves
+        f = pd.DataFrame({
+            "y": np.concatenate([a[:, 0], b[:, 0]]),
+            "x": np.concatenate([a[:, 1], b[:, 1]]),
+            "frame": [0] * n + [1] * n,
+        })
+        def cost(out):
+            p = out["particle"].to_numpy()
+            c = 0.0
+            for j in range(n):
+                match = np.nonzero(p[:n] == p[n + j])[0]
+                if len(match):
+                    c += float(np.sum((b[j] - a[match[0]]) ** 2))
+                else:
+                    c += sr ** 2
+            return c
+        ch = cost(link(f.copy(), sr, backend="host"))
+        cd = cost(link(f.copy(), sr, backend="device"))
+        assert abs(ch - cd) < 1e-4, (trial, ch, cd)
