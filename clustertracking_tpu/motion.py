@@ -106,36 +106,56 @@ def body_frame_displacements(
     pos_columns: Optional[list] = None,
     t_column: str = "frame",
 ) -> pd.DataFrame:
-    """Per-step displacement decomposed in the body frame (2D).
+    """Per-step displacement decomposed in the body frame.
 
-    Adds columns ``d_par`` (along the body x-axis at the step start),
-    ``d_perp``, and ``d_angle`` for each consecutive-frame step of each
-    cluster trajectory."""
+    2D (``angle`` column): adds ``d_par`` (along the body x-axis at the
+    step start), ``d_perp``, and ``d_angle``.
+
+    3D (``u_z/u_y/u_x`` body-axis columns): adds ``d_par`` (along the
+    body axis at the step start), ``d_perp`` (magnitude of the
+    perpendicular component), and ``d_angle`` (angle between consecutive
+    body axes) — the axisymmetric decomposition of the paper's cluster
+    kinematics for 3D dimers/rods."""
     if pos_columns is None:
-        pos_columns = [c for c in ("y", "x") if c in traj.columns]
+        pos_columns = [
+            c for c in ("z", "y", "x") if c in traj.columns
+        ]
+    ndim = len(pos_columns)
+    is3d = ndim == 3 and "u_z" in traj.columns
     rows = []
     for cid, grp in traj.groupby("cluster_traj", sort=False):
         grp = grp.sort_values(t_column)
         t = grp[t_column].to_numpy()
         pos = grp[pos_columns].to_numpy(dtype=float)
-        ang = _unwrap_angles(grp["angle"].to_numpy(dtype=float)) if (
-            "angle" in grp
-        ) else np.zeros(len(grp))
+        if is3d:
+            u = grp[["u_z", "u_y", "u_x"]].to_numpy(dtype=float)
+        else:
+            ang = _unwrap_angles(
+                grp["angle"].to_numpy(dtype=float)
+            ) if "angle" in grp else np.zeros(len(grp))
         for i in range(len(grp) - 1):
             if t[i + 1] != t[i] + 1:
                 continue
-            dy, dx = pos[i + 1] - pos[i]
-            th = ang[i]
-            # body x-axis = orientation direction (cos, sin) in (x, y)
-            d_par = dx * np.cos(th) + dy * np.sin(th)
-            d_perp = -dx * np.sin(th) + dy * np.cos(th)
+            if is3d:
+                d = pos[i + 1] - pos[i]
+                d_par = float(d @ u[i])
+                d_perp = float(np.linalg.norm(d - d_par * u[i]))
+                c = float(np.clip(u[i] @ u[i + 1], -1.0, 1.0))
+                d_angle = float(np.arccos(c))
+            else:
+                dy, dx = pos[i + 1] - pos[i]
+                th = ang[i]
+                # body x-axis = orientation direction (cos, sin) in (x, y)
+                d_par = dx * np.cos(th) + dy * np.sin(th)
+                d_perp = -dx * np.sin(th) + dy * np.cos(th)
+                d_angle = ang[i + 1] - ang[i]
             rows.append(
                 {
                     "cluster_traj": cid,
                     t_column: t[i],
                     "d_par": d_par,
                     "d_perp": d_perp,
-                    "d_angle": ang[i + 1] - ang[i],
+                    "d_angle": d_angle,
                 }
             )
     return pd.DataFrame(rows)
@@ -162,40 +182,41 @@ def msd(
                 if j is not None:
                     d = x[j] - x[i]
                     acc[lag].append(np.sum(d * d))
-    rows = [
-        {"lagt": lag, "msd": float(np.mean(acc[lag])), "n": len(acc[lag])}
-        for lag in lags
-        if acc[lag]
-    ]
+    rows = []
+    for lag in lags:
+        if not acc[lag]:
+            continue
+        a = np.asarray(acc[lag], dtype=float)
+        rows.append({
+            "lagt": lag,
+            "msd": float(a.mean()),
+            # stderr of the ensemble-mean MSD at this lag (overlapping
+            # windows correlate samples, so this slightly underestimates;
+            # the diffusion-constant stderr degrades gracefully with it)
+            "msd_std": float(a.std(ddof=1) / np.sqrt(len(a)))
+            if len(a) > 1 else np.nan,
+            "n": len(a),
+        })
     return pd.DataFrame(rows)
 
 
-def diffusion_constants(
-    f_linked: pd.DataFrame,
-    pos_columns: Optional[list] = None,
-    t_column: str = "frame",
-    max_lagtime: int = 4,
-    fps: float = 1.0,
-    symmetry_fold: int = 1,
-) -> dict:
-    """Estimate D_trans and (2D) D_rot of rigid clusters.
+def _slope_through_origin(tt, y, w):
+    """Weighted LS slope of y = slope·t through the origin:
+    slope = Σ w t y / Σ w t²."""
+    return float(np.sum(w * tt * y) / np.sum(w * tt * tt))
 
-    Input: linked, refined features (particle + cluster columns).  Returns
-    ``{'D_trans': ..., 'D_rot': ..., 'n_steps': ...}`` with D in
-    pixel²/time (time = frames/fps), via the MSD slope over lags
-    1..max_lagtime: MSD_trans = 2·ndim·D·t, MSD_rot = 2·D_rot·t."""
-    if pos_columns is None:
-        pos_columns = guess_pos_columns(f_linked)
-    ndim = len(pos_columns)
-    traj = cluster_trajectories(f_linked, pos_columns, t_column)
 
+def _point_estimates(
+    traj, pos_columns, ndim, t_column, max_lagtime, fps, symmetry_fold
+):
+    """(D_trans, D_rot, n_steps) from a cluster-trajectory table."""
     m = msd(traj, pos_columns, t_column, max_lagtime)
     if not len(m):
-        return {"D_trans": np.nan, "D_rot": np.nan, "n_steps": 0}
+        return np.nan, np.nan, 0
     # slope through origin, weighted by sample count
     w = m["n"].to_numpy(dtype=float)
     tt = m["lagt"].to_numpy(dtype=float) / fps
-    slope = np.sum(w * tt * m["msd"].to_numpy()) / np.sum(w * tt * tt)
+    slope = _slope_through_origin(tt, m["msd"].to_numpy(), w)
     d_trans = slope / (2.0 * ndim)
 
     d_rot = np.nan
@@ -223,10 +244,10 @@ def diffusion_constants(
                     logs.append(-np.log(c))
                     ws.append(len(vals))
         if lags:
-            lags = np.asarray(lags)
-            logs = np.asarray(logs)
-            ws = np.asarray(ws, dtype=float)
-            slope = np.sum(ws * lags * logs) / np.sum(ws * lags * lags)
+            slope = _slope_through_origin(
+                np.asarray(lags), np.asarray(logs),
+                np.asarray(ws, dtype=float),
+            )
             d_rot = slope / 2.0
     elif "angle" in traj.columns and traj["angle"].notna().any():
         # single-member clusters carry no orientation — drop their NaN
@@ -241,15 +262,83 @@ def diffusion_constants(
             )
         mr = msd(ang, ["angle_unwrapped"], t_column, max_lagtime)
         if len(mr):
-            w = mr["n"].to_numpy(dtype=float)
-            tt = mr["lagt"].to_numpy(dtype=float) / fps
-            slope = np.sum(w * tt * mr["msd"].to_numpy()) / np.sum(
-                w * tt * tt
+            slope = _slope_through_origin(
+                mr["lagt"].to_numpy(dtype=float) / fps,
+                mr["msd"].to_numpy(),
+                mr["n"].to_numpy(dtype=float),
             )
             d_rot = slope / 2.0
 
+    return float(d_trans), float(d_rot), int(m["n"].sum())
+
+
+def diffusion_constants(
+    f_linked: pd.DataFrame,
+    pos_columns: Optional[list] = None,
+    t_column: str = "frame",
+    max_lagtime: int = 4,
+    fps: float = 1.0,
+    symmetry_fold: int = 1,
+    n_blocks: int = 8,
+) -> dict:
+    """Estimate D_trans and D_rot of rigid clusters, with uncertainties.
+
+    Input: linked, refined features (particle + cluster columns).  Returns
+    ``{'D_trans', 'D_trans_std', 'D_rot', 'D_rot_std', 'n_steps'}`` with D
+    in pixel²/time (time = frames/fps), via the MSD slope over lags
+    1..max_lagtime: MSD_trans = 2·ndim·D·t, MSD_rot = 2·D_rot·t (2D angle
+    MSD; 3D from body-axis decorrelation <u·u'> = exp(-2 D_r τ)).
+
+    Uncertainty (SURVEY.md §2 motion row: estimates "with statistical
+    uncertainty"): the ``_std`` values are block standard errors — the
+    time range is split into ``n_blocks`` contiguous blocks, the full
+    estimator runs on each, and the stderr is the block scatter /
+    sqrt(n_blocks).  Blocking respects the serial correlation of
+    overlapping-window MSD samples that a naive per-lag error propagation
+    ignores (which underestimates by ~2-3x, measured).
+    """
+    if pos_columns is None:
+        pos_columns = guess_pos_columns(f_linked)
+    ndim = len(pos_columns)
+    traj = cluster_trajectories(f_linked, pos_columns, t_column)
+    if not len(traj):
+        return {"D_trans": np.nan, "D_trans_std": np.nan,
+                "D_rot": np.nan, "D_rot_std": np.nan, "n_steps": 0}
+
+    d_trans, d_rot, n_steps = _point_estimates(
+        traj, pos_columns, ndim, t_column, max_lagtime, fps, symmetry_fold
+    )
+
+    # block stderr: contiguous time blocks, the estimator per block
+    t_all = traj[t_column].to_numpy(dtype=float)
+    t_lo, t_hi = t_all.min(), t_all.max()
+    span = max(t_hi - t_lo, 1.0)
+    block_t, block_r = [], []
+    for k in range(n_blocks):
+        lo = t_lo + span * k / n_blocks
+        hi = t_lo + span * (k + 1) / n_blocks
+        sel = traj[(t_all >= lo) & (t_all < hi if k + 1 < n_blocks
+                                    else t_all <= hi)]
+        if len(sel) <= max_lagtime + 1:
+            continue
+        dt_k, dr_k, n_k = _point_estimates(
+            sel, pos_columns, ndim, t_column, max_lagtime, fps,
+            symmetry_fold,
+        )
+        if n_k > 0 and np.isfinite(dt_k):
+            block_t.append(dt_k)
+        if np.isfinite(dr_k):
+            block_r.append(dr_k)
+
+    def _block_std(vals):
+        if len(vals) < 2:
+            return np.nan
+        return float(np.std(vals, ddof=1) / np.sqrt(len(vals)))
+
     return {
-        "D_trans": float(d_trans),
-        "D_rot": float(d_rot),
-        "n_steps": int(m["n"].sum()),
+        "D_trans": d_trans,
+        "D_trans_std": _block_std(block_t),
+        "D_rot": d_rot,
+        "D_rot_std": _block_std(block_r),
+        "n_steps": n_steps,
     }

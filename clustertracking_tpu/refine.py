@@ -592,42 +592,10 @@ def refine_leastsq(
         validate_tuple(size_default_src, n_size), dtype=float
     )
 
-    def initial_params(rows, image):
-        k = len(rows)
-        p = np.zeros((k, P))
-        p[:, 0] = param_val.get(
-            "background",
-            rows["background"].to_numpy() if "background" in rows else 0.0,
-        )
-        pos = rows[pos_columns].to_numpy(dtype=float)
-        p[:, 2 : 2 + ndim] = pos
-        if "signal" in rows:
-            p[:, 1] = rows["signal"].to_numpy(dtype=float)
-        else:
-            ipos = np.clip(
-                np.round(pos).astype(int), 0,
-                np.asarray(image.shape) - 1,
-            )
-            p[:, 1] = image[tuple(ipos.T)] - p[:, 0]
-        for j, c in enumerate(size_cols):
-            if c in rows:
-                p[:, 2 + ndim + j] = rows[c].to_numpy(dtype=float)
-            else:
-                p[:, 2 + ndim + j] = default_size[j]
-        for j, name in enumerate(extra_names):
-            if name in param_val:
-                p[:, 2 + ndim + n_size + j] = param_val[name]
-            elif name in rows:
-                p[:, 2 + ndim + n_size + j] = rows[name].to_numpy(
-                    dtype=float
-                )
-            else:
-                p[:, 2 + ndim + n_size + j] = model.default[name]
-        return p
-
-    def initial_params_bulk(rows, images):
-        """initial_params for a whole (cluster-sorted) bucket at once;
-        the image-sampling signal fallback loops frames, not clusters."""
+    def initial_params(rows, images):
+        """Initial parameter table for any block of feature rows (a whole
+        bucket or a single spill cluster); the image-sampling signal
+        fallback loops frames, not clusters."""
         k = len(rows)
         p = np.zeros((k, P))
         p[:, 0] = param_val.get(
@@ -747,7 +715,7 @@ def refine_leastsq(
                     "frames — re-run find_clusters"
                 )
             Bpad = max(_LANE_PAD, int(np.ceil(B / _LANE_PAD)) * _LANE_PAD)
-            flat = initial_params_bulk(grp, images)     # [B*n, P]
+            flat = initial_params(grp, images)          # [B*n, P]
             params0 = np.zeros((Bpad, n, P), dtype=np.float32)
             params0[:B] = flat.reshape(B, n, P)
             tcol = t_blocks[:, 0]
@@ -874,7 +842,7 @@ def _spill_scipy(
         n = len(rows)
         t = int(rows[t_column].iloc[0])
         image = images[t]
-        p0 = initial_params(rows, image)
+        p0 = initial_params(rows, images)
         layout = build_layout(
             model, ndim, isotropic, n, dict(param_mode_key)
         )

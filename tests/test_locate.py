@@ -127,3 +127,33 @@ def test_topk_matches_compaction_when_no_overflow():
                                   np.asarray(b[0])[ok])
     np.testing.assert_array_equal(np.asarray(a[1])[ok],
                                   np.asarray(b[1])[ok])
+
+
+def test_pipeline_locate_threshold_modes():
+    """Default pipeline threshold = percentile floored at median+6·MAD
+    (a documented deviation from trackpy's raw percentile rule); passing
+    an explicit threshold pins the pure-percentile behavior."""
+    from clustertracking_tpu.pipeline import locate
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(10.0, 2.0, (128, 128)).astype(np.float32)
+    artificial.draw_feature(img, (40, 60), 2.0, signal=80.0)
+    artificial.draw_feature(img, (90, 30), 2.0, signal=70.0)
+
+    # default: MAD floor suppresses noise maxima; only real features pass
+    f = locate(img, diameter=9, separation=5)
+    assert len(f) == 2
+    got = f[["y", "x"]].to_numpy().astype(int)
+    got = got[np.lexsort(got.T[::-1])]
+    np.testing.assert_array_equal(got, [[40, 60], [90, 30]])
+
+    # pure-percentile mode (trackpy's default rule) via explicit threshold:
+    # the 64th percentile of a Gaussian background sits at background level,
+    # so noise maxima flood in — exactly the behavior the floor deviates from
+    thr = float(np.percentile(img, 64.0))
+    f_pct = locate(img, diameter=9, separation=5, threshold=thr,
+                   max_features=8192)
+    assert len(f_pct) > 50
+    # and the real features are still among them
+    vals = f_pct["signal"].to_numpy()
+    assert vals.max() > 60.0
