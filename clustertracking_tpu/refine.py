@@ -876,91 +876,7 @@ def _spill_scipy(
         )
 
 
-def train_leastsq(
-    f: pd.DataFrame,
-    reader,
-    diameter,
-    separation=None,
-    fit_function="inv_series_2",
-    param_mode: Optional[dict] = None,
-    tol: float = 1e-7,
-    pos_columns: Optional[list] = None,
-    t_column: str = "frame",
-    max_samples: int = 512,
-    max_rounds: int = 5,
-    param_val: Optional[dict] = None,
-    **kwargs,
-) -> dict:
-    """Calibrate 'global'-mode parameters across many features/frames.
-
-    Rebuild of refine.py::train_leastsq (SURVEY.md §3.3): jointly fits
-    slots flagged 'global' (typically the model's extra parameters, e.g.
-    inv_series coefficients) over a sample of clusters spanning ALL
-    cluster sizes, and returns the learned values as a dict to feed back
-    via ``param_val``.
-
-    Joint structure: within one solver dispatch the global slots are tied
-    exactly across lanes (ops/lm.py::lm_solve_global — the Gauss–Newton
-    system of the joint problem); across size buckets and frame chunks the
-    tie is closed by block-coordinate rounds — each round refits every
-    bucket starting from the current shared estimate, then pools the
-    bucket results (weighted by accepted-cluster count) until the shared
-    values move less than ``sqrt(tol)`` relatively or ``max_rounds`` is
-    hit.  With a single bucket (the common case) one round is exact and
-    the loop exits after round two confirms convergence.
-    """
-    if pos_columns is None:
-        pos_columns = guess_pos_columns(f)
-    model = get_model(fit_function)
-
-    if "cluster" not in f.columns:
-        sep = separation if separation is not None else diameter
-        f = find_clusters(f, sep, pos_columns, t_column)
-
-    # sample clusters across all sizes (size mix preserved by taking ids
-    # in order of appearance); huge spill-to-scipy clusters are excluded
-    # (the host path cannot tie global slots)
-    max_n = int(kwargs.get("max_cluster_size", 8))
-    sel = f[f["cluster_size"] <= max_n]
-    ids = sel["cluster"].unique()[:max_samples]
-    sel = sel[sel["cluster"].isin(ids)]
-
-    # force extras to 'global' mode (reference behavior)
-    mode = dict(param_mode or {})
-    for name in model.extra_params:
-        mode.setdefault(name, "global")
-
-    learned = {
-        name: float(model.default[name]) for name in model.extra_params
-    }
-    if param_val:
-        learned.update({
-            k: float(v) for k, v in param_val.items()
-            if k in model.extra_params
-        })
-    user_val = {
-        k: v for k, v in (param_val or {}).items()
-        if k not in model.extra_params
-    }
-    rtol = math.sqrt(tol)
-    for _ in range(max_rounds):
-        fitted = refine_leastsq(
-            sel, reader, diameter, separation,
-            fit_function=model, param_mode=mode,
-            param_val={**user_val, **learned},
-            pos_columns=pos_columns, t_column=t_column,
-            ftol=tol, xtol=tol, **kwargs,
-        )
-        ok = fitted["cost"].notna()
-        if not ok.any():
-            break
-        prev = dict(learned)
-        for name in model.extra_params:
-            learned[name] = float(fitted.loc[ok, name].mean())
-        delta = max(
-            abs(learned[k] - prev[k]) / max(abs(prev[k]), 1e-12)
-            for k in learned
-        ) if learned else 0.0
-        if delta < rtol:
-            break
-    return learned
+# train_leastsq lives in train.py (joint cross-bucket calibration); it
+# imports this module's bucket machinery, so the import sits at the bottom
+# to avoid a cycle.
+from .train import train_leastsq  # noqa: E402

@@ -96,3 +96,57 @@ def test_train_feeds_back_into_refine():
     )
     err = np.hypot(out["y"] - f["y"], out["x"] - f["x"])
     assert float(err.max()) < 0.03
+
+
+def test_train_joint_beats_mean_pooling():
+    """VERDICT round-1 item 7: dissimilar buckets where count-weighted
+    mean-pooling of per-bucket estimates demonstrably biases the shared
+    coefficients, while the pooled-normal-equation joint solve weights
+    buckets by information content and recovers truth.
+
+    Scene: 20 dim singles (signal 18) whose const size is mis-calibrated
+    (2.4 vs true 2.0 — their per-bucket coeff estimate compensates and
+    lands far from truth) + 4 bright dimers (signal 220, correct size),
+    Gaussian noise. Count weighting is 20:8 toward the biased bucket;
+    information weighting is ~150:1 toward the correct one.
+    """
+    rng = np.random.default_rng(7)
+    img = np.zeros((200, 200))
+    rows = []
+    grid = [(y, x) for y in range(20, 190, 24) for x in range(20, 190, 24)]
+    rng.shuffle(grid)
+    it = iter(grid)
+    for _ in range(20):
+        c = np.asarray(next(it), float) + rng.uniform(-3, 3, 2)
+        artificial.draw_feature(img, c, 2.0, 18.0, _psf, cutoff_sigmas=8.0)
+        rows.append({"frame": 0, "y": c[0], "x": c[1],
+                     "signal": 18.0, "size": 2.4})
+    for _ in range(4):
+        c = np.asarray(next(it), float)
+        pos = artificial.draw_cluster(
+            img, c, size=2.0, separation=5.0, n=2, signal=220.0,
+            angle=rng.uniform(0, np.pi), feat_func=_psf, cutoff_sigmas=8.0,
+        )
+        for p in pos:
+            rows.append({"frame": 0, "y": p[0], "x": p[1],
+                         "signal": 220.0, "size": 2.0})
+    img = img + rng.normal(0, 2.0, img.shape)
+    f = pd.DataFrame(rows)
+    kw = dict(diameter=11, separation=6, fit_function="inv_series_2",
+              param_mode={"size": "const"})
+
+    joint = ct.train_leastsq(f, img, **kw)
+    assert abs(joint["coeff_1"] - A1) < 0.03
+    assert abs(joint["coeff_2"] - A2) < 0.03
+
+    # what accepted-count-weighted mean pooling (the round-1 scheme)
+    # would produce from the two per-bucket estimates
+    f_cl = ct.find_clusters(f, 6)
+    fs = f_cl[f_cl.cluster_size == 1]
+    fd = f_cl[f_cl.cluster_size == 2]
+    es = ct.train_leastsq(fs, img, **kw)
+    ed = ct.train_leastsq(fd, img, **kw)
+    ns, nd = len(fs), len(fd)
+    pooled = {k: (ns * es[k] + nd * ed[k]) / (ns + nd) for k in es}
+    assert abs(pooled["coeff_1"] - A1) > 0.1   # mean pooling is biased
+    assert abs(pooled["coeff_2"] - A2) > 0.1
