@@ -58,10 +58,12 @@ class BatchRecord:
 
 
 class StatsCollector:
-    """Accumulates BatchRecords from refine_leastsq dispatches."""
+    """Accumulates BatchRecords from refine_leastsq dispatches, plus the
+    pipeline loss ledger (per-stage feature counts from track())."""
 
     def __init__(self):
         self.batches: List[BatchRecord] = []
+        self.ledger: dict = {}
 
     def add(self, rec: BatchRecord) -> None:
         self.batches.append(rec)
@@ -93,6 +95,22 @@ class StatsCollector:
             "clusters_per_sec": n / wall if wall > 0 else 0.0,
         }
 
+    def summary_by_backend(self) -> dict:
+        """Per-backend {n_clusters, wall_s, clusters_per_sec} — separates
+        the batched device rate from e.g. the serial scipy spill path."""
+        out: dict = {}
+        for b in self.batches:
+            d = out.setdefault(
+                b.backend, {"n_clusters": 0, "wall_s": 0.0}
+            )
+            d["n_clusters"] += b.n_clusters
+            d["wall_s"] += b.wall_s
+        for d in out.values():
+            d["clusters_per_sec"] = (
+                d["n_clusters"] / d["wall_s"] if d["wall_s"] > 0 else 0.0
+            )
+        return out
+
 
 _local = threading.local()
 
@@ -120,6 +138,20 @@ def record_batch(**kwargs) -> None:
         c.add(rec)
     else:
         logger.debug("fit batch (uncollected): %s", rec)
+
+
+def record_ledger(**counts) -> None:
+    """Internal: accumulate pipeline loss-ledger counters (track()).
+
+    Counters are summed into the active collector's ``ledger`` so every
+    feature lost between locate and the linked output is attributed to a
+    stage (SURVEY.md §5 failure detection; VERDICT round-1 item 5)."""
+    c = _active_collector()
+    if c is None:
+        logger.debug("pipeline ledger (uncollected): %s", counts)
+        return
+    for k, v in counts.items():
+        c.ledger[k] = c.ledger.get(k, 0) + v
 
 
 @contextlib.contextmanager

@@ -238,9 +238,15 @@ def make_pallas_lm(
     # are loop-local (an unrolled chunk sweep makes Mosaic's stack
     # allocation grow with the number of chunks — measured OOM at 11
     # chunks).  The pixel axis is padded to a whole number of equal chunks;
-    # the padded tail carries mask=0 so it contributes nothing.
+    # the padded tail carries mask=0 so it contributes nothing.  Chunks
+    # are EQUALIZED (ceil(Npix/n_chunks) rounded to a sublane tile), not
+    # left at the max-fit length — at Npix=1521/V=14 the max-fit chunk
+    # of 488 padded to 1952 pixels, 28% wasted accumulate work.
     n_chunks = -(-Npix // chunk_len)
-    CL = chunk_len if n_chunks > 1 else Npix
+    if n_chunks > 1:
+        CL = -(-(-(-Npix // n_chunks)) // 8) * 8
+    else:
+        CL = Npix
     Npix_pad = n_chunks * CL
     n_extra = len(model.extra_params)
     extra_p = tuple(layout.param_names.index(nm) for nm in model.extra_params)
@@ -469,18 +475,14 @@ def make_pallas_lm(
             init = jnp.zeros((n_rows + n_pad, TBk), jnp.float32)
             return jax.lax.fori_loop(0, n_chunks, body, init)
 
-        def eval_cost(x):
-            return _row(_accumulate(x, with_jac=False), 0)
-
-        def eval_cost_grad_hess(x):
-            acc = _accumulate(x, with_jac=True)
-            cost = _row(acc, 0)
+        def unpack_gh(acc):
+            """(g rows, H dict-of-rows) from a packed accumulator."""
             g = [_row(acc, 1 + v) for v in range(Vk)]
             H = [[None] * Vk for _ in range(Vk)]
             for (u, v), k in tri.items():
                 H[u][v] = _row(acc, 1 + Vk + k)
                 H[v][u] = H[u][v]  # symmetric (shared row, no copy)
-            return cost, g, H
+            return g, H
 
         def damped_solve(H, g, lam):
             """Unrolled row-wise Cholesky of (H + λ·diag(H) + εI)x = -g.
@@ -521,8 +523,15 @@ def make_pallas_lm(
                 xs[i2] = s / L[i2][i2]
             return jnp.concatenate(xs, axis=0)  # [V, TB]
 
+        # One fused accumulation sweep per LM iteration: (cost, g, H) are
+        # evaluated at the TRIAL point and the packed accumulator rides
+        # through the loop state — on rejection the carried rows are
+        # reused instead of recomputing J at an unchanged x plus a
+        # separate cost-only sweep per trial.  Iterates are identical to
+        # the two-sweep structure (same values, same accept decisions).
         x0 = clip(vect_ref[:])
-        c0 = eval_cost(x0)
+        acc0 = _accumulate(x0, with_jac=True)
+        c0 = _row(acc0, 0)
         TB = norm.shape[1]
 
         # Loop state must carry full-sublane-tile vectors (Mosaic cannot
@@ -544,27 +553,29 @@ def make_pallas_lm(
             ], axis=0)
 
         def cond(state):
-            it, _, s = state
+            it, _, s, _ = state
             return (it < max_iter) & jnp.any(_row(s, 2) > 0.5)
 
         def body(state):
-            it, xp, s = state
+            it, xp, s, acc = state
             x = xp[:Vk, :]
             cost = _row(s, 0)
             lam = _row(s, 1)
             active = _row(s, 2) > 0.5
             n_iter = _row(s, 3)
             converged = _row(s, 4) > 0.5
-            _, g, H = eval_cost_grad_hess(x)
+            g, H = unpack_gh(acc)
             delta = damped_solve(H, g, lam)
             x_trial = clip(x + delta)
             step = x_trial - x
-            c_trial = eval_cost(x_trial)
+            acc_t = _accumulate(x_trial, with_jac=True)
+            c_trial = _row(acc_t, 0)
             better = c_trial < cost
 
             accept = active & better
             x_new = jnp.where(accept, x_trial, x)
             cost_new = jnp.where(accept, c_trial, cost)
+            acc_new = jnp.where(accept, acc_t, acc)
             lam_new = jnp.where(
                 accept, lam * lam_down, jnp.minimum(lam * lam_up, lam_max)
             )
@@ -597,6 +608,7 @@ def make_pallas_lm(
                     n_iter + active.astype(jnp.float32),
                     converged | (active & conv_now),
                 ),
+                acc_new,
             )
 
         init = (
@@ -609,8 +621,9 @@ def make_pallas_lm(
                 jnp.zeros((1, TB), jnp.float32),
                 jnp.zeros((1, TB), bool),
             ),
+            acc0,
         )
-        _, xp, s = jax.lax.while_loop(cond, body, init)
+        _, xp, s, _ = jax.lax.while_loop(cond, body, init)
 
         # masked-pixel count (for the caller's rms normalization)
         if n_chunks == 1:

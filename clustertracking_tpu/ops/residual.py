@@ -142,7 +142,11 @@ def make_model_fns(
 
     def residual_fn(vect, const_params, pixels, mask, origin, norm):
         img = model_image_fn(vect, const_params, origin)
-        return (img - pixels) * mask / norm[:, None]
+        # (mask / norm) FIRST — the same rounding as residual_jac_fn's
+        # weight w and the pallas kernel's maskc·inv_norm (mask is 0/1,
+        # so all three are bit-identical), keeping acceptance decisions
+        # aligned across every solver path
+        return (img - pixels) * (mask / norm[:, None])
 
     def residual_jac_fn(vect, const_params, pixels, mask, origin, norm):
         params = layout.vect_to_params(vect, const_params)

@@ -15,6 +15,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
+from . import diagnostics
 from .find import find_clusters
 from .link import link as _link
 from .ops.locate import grey_dilation
@@ -137,17 +138,32 @@ def track(
     ndim = len(default_pos_columns(np.asarray(reader[0]).ndim))
     sep = separation if separation is not None else diameter
     f = find_clusters(f, sep, t_column=t_column, backend=find_backend)
+    max_cluster = int(refine_kwargs.get("max_cluster_size", 8))
+    n_spill = int((f["cluster_size"] > max_cluster).sum())
     f = refine_leastsq(
         f, reader, diameter, sep, t_column=t_column, **refine_kwargs
     )
     ok = f["cost"].notna()
+    # loss ledger: every feature between locate and the linked output is
+    # accounted for (spilled features are still fit — on the host scipy
+    # path — so they are a *slow* bucket, not a loss)
+    diagnostics.record_ledger(
+        frames=n_frames,
+        candidates_located=len(f),
+        clusters=int(f["cluster"].nunique()),
+        features_spilled_to_scipy=n_spill,
+        fit_accepted=int(ok.sum()),
+        fit_rejected=int((~ok).sum()),
+    )
     f = f[ok].reset_index(drop=True)
     if search_range is None:
         search_range = float(np.mean(validate_tuple(diameter, ndim)))
-    return _link(
+    out = _link(
         f, search_range, memory=memory, t_column=t_column,
         backend=link_backend if link_backend is not None else "device",
     )
+    diagnostics.record_ledger(linked=len(out))
+    return out
 
 
 def _locate_frames(

@@ -75,29 +75,61 @@ _LANE_PAD = 32  # lanes are padded to multiples of this (limits retraces)
 def _gather_stack(frames, frame_idx, origins, window_shape):
     """Gather [B, Npix] windows from stacked frames [T, *S].
 
-    Two-stage slice: first the window rows at FULL minor-axis width
-    (large contiguous slices the TPU gathers efficiently), then the
-    minor-axis columns from the much smaller row block — measured 2.6x
-    faster than a single vmapped (1, *window) dynamic_slice at B=8192
-    (16 ms → 6 ms; the one-shot form is scalar-core bound)."""
+    Row-take + one-hot matmul: every window ROW (all dims but the minor)
+    becomes one flat row index into frames reshaped to [n_rows, W], pulled
+    with a single `jnp.take` (row gathers move whole contiguous 128-lane
+    tiles — fast); the minor-axis columns are then extracted with a
+    batched one-hot einsum that runs on the MXU.  Replaces the former
+    two-stage vmapped dynamic_slice, which was scalar-core bound
+    (measured ~4 µs/lane: 8 ms for a B=2048 3D bucket vs ~1 ms here —
+    the HBM traffic itself is ~0.5 ms).  The one-hot product is exact
+    (each output pixel is 1.0 × one input pixel)."""
     D = len(window_shape)
-    Wminor = frames.shape[-1]
+    B = origins.shape[0]
+    W = frames.shape[-1]
+    wx = window_shape[-1]
+    lead = frames.shape[1:-1]          # per-frame row-grid shape
+    n_row_dims = D - 1
 
-    def rows_one(fi, origin):
-        start = (fi,) + tuple(origin[d] for d in range(D - 1)) + (0,)
-        size = (1,) + window_shape[:-1] + (Wminor,)
-        return jax.lax.dynamic_slice(frames, start, size).reshape(
-            window_shape[:-1] + (Wminor,)
-        )
+    # static window-row offset grid [R_rows, D-1]
+    row_grid = np.stack(
+        [
+            g.ravel()
+            for g in np.meshgrid(
+                *[np.arange(w) for w in window_shape[:-1]], indexing="ij"
+            )
+        ],
+        axis=-1,
+    ).astype(np.int32)                 # [R_rows, D-1]
+    R_rows = row_grid.shape[0]
 
-    rows = jax.vmap(rows_one)(frame_idx, origins)  # [B, *win[:-1], Wminor]
+    stride = np.ones(n_row_dims, np.int64)
+    for d in range(n_row_dims - 1, 0, -1):
+        stride[d - 1] = stride[d] * lead[d]
+    frame_rows = int(np.prod(lead))
 
-    def cols_one(r, origin):
-        start = (0,) * (D - 1) + (origin[D - 1],)
-        return jax.lax.dynamic_slice(r, start, window_shape)
+    row_idx = jnp.broadcast_to(
+        frame_idx.astype(jnp.int32)[:, None] * frame_rows, (B, R_rows)
+    )
+    for d in range(n_row_dims):
+        row_idx = row_idx + (
+            origins[:, d, None] + jnp.asarray(row_grid[None, :, d])
+        ) * int(stride[d])
+    rows = jnp.take(
+        frames.reshape(-1, W), row_idx.reshape(-1), axis=0
+    ).reshape(B, R_rows, W)
 
-    out = jax.vmap(cols_one)(rows, origins)
-    return out.reshape(out.shape[0], -1)
+    ox = origins[:, -1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, W, wx), 1)
+    tgt = ox[:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (B, W, wx), 2
+    )
+    selX = (col == tgt).astype(frames.dtype)              # [B, W, wx]
+    out = jnp.einsum(
+        "brw,bwx->brx", rows, selX,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(B, -1)
 
 
 @lru_cache(maxsize=256)
@@ -210,7 +242,9 @@ def _bucket_solver(
         def residual(vect, params_ref, pixels, mask, origin, norm):
             params = params_of(vect, params_ref)
             img = fns.image_from_params(params, origin)
-            return (img - pixels) * mask / norm[:, None]
+            # (mask / norm) first — bit-aligned with residual_jac's weight
+            # and the pallas kernel (see ops/residual.py::residual_fn)
+            return (img - pixels) * (mask / norm[:, None])
 
         # Analytic Jacobian via the chain rule: the model machinery's
         # analytic per-slot pixel Jacobian × the (tiny, per-lane jacfwd)
@@ -363,16 +397,50 @@ def _bucket_solver(
 
         fused = use_pallas and getattr(pallas_solve, "fused_gather", False)
 
+        # Pallas DMA gather for buckets the fused kernel can't take whole
+        # (3D windows foremost): per-lane superset DMA at HBM stream
+        # bandwidth vs the XLA row-take's ~28 GB/s effective (measured
+        # 6.7 ms -> ~2 ms for a B=2048 (9,13,13) bucket).
+        from .ops.pallas_gather import (
+            make_pallas_gather,
+            pallas_gather_available,
+        )
+
+        pgather = None
+        frames_g = frames
+        if jax.default_backend() == "tpu" and not fused:
+            # the DMA kernel needs 8/128-aligned frame dims; pad the
+            # stack once per dispatch (origins stay valid — windows are
+            # clamped inside the ORIGINAL frame, padding is only ever
+            # superset-block overhang that the extraction discards)
+            Hp = -(-frame_shape[-2] // 8) * 8
+            Wp = -(-frame_shape[-1] // 128) * 128
+            shape_g = frame_shape[:-2] + (Hp, Wp)
+            if pallas_gather_available(window_shape, shape_g):
+                pgather = make_pallas_gather(window_shape, shape_g)
+                if shape_g != frame_shape:
+                    pad = [(0, 0)] * frames.ndim
+                    pad[-2] = (0, Hp - frame_shape[-2])
+                    pad[-1] = (0, Wp - frame_shape[-1])
+                    frames_g = jnp.pad(frames, pad)
+
         def gather(vect, params_ref, with_mask=True, with_pixels=True):
             pos = positions_of(vect, params_ref)
             origin = origins_for(pos, window_shape, frame_shape)
             # fused-gather pallas kernels DMA their own windows from the
             # frame stack in HBM — no [B, Npix] pixel array is built; the
             # [B, Npix] mask likewise only exists for XLA solves
-            pixels = (
-                _gather_stack(frames, frame_idx, origin, window_shape)
-                if with_pixels else None
-            )
+            if not with_pixels:
+                pixels = None
+            elif pgather is not None:
+                Npix = int(np.prod(window_shape))
+                pixels = pgather(frames_g, frame_idx, origin)[
+                    :Npix, : origin.shape[0]
+                ].T
+            else:
+                pixels = _gather_stack(
+                    frames, frame_idx, origin, window_shape
+                )
             mask = (
                 radius_mask(pos, origin, window_shape, radius)
                 if with_mask else None

@@ -360,9 +360,15 @@ def test_pallas_rigid_matches_xla(n, conf):
         out_p[cols].to_numpy(), out_x[cols].to_numpy(),
         rtol=0, atol=5e-4,
     )
+    # Noiseless scene: both paths converge to the f32 noise floor
+    # (cost ~ 5e-7 = residuals at machine precision of the signal scale).
+    # The rigid XLA path's pose-chain Jacobian rounds differently from
+    # the kernel's inlined trig, so the ITERATE paths diverge (measured
+    # 5-20 vs 15-32 iterations) while both land at the floor — the cost
+    # comparison is therefore noise-floor-to-noise-floor, atol-bound.
     np.testing.assert_allclose(
         out_p["cost"].to_numpy(), out_x["cost"].to_numpy(),
-        rtol=1e-3, atol=1e-7,
+        rtol=1e-3, atol=3e-7,
     )
     # geometry conserved EXACTLY by the pose parameterization
     pos = out_p[["y", "x"]].to_numpy().reshape(-1, n, 2)
