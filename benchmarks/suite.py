@@ -163,7 +163,11 @@ def config2(n_frames=100, reps=1):
     import clustertracking_tpu as ct
 
     reader, truth = _video(n_frames, 100, (512, 512), 5.0)
-    kw = dict(diameter=9, separation=5, search_range=3.0, memory=2,
+    # memory=6: a dimer whose two peaks merge into one candidate (aligned
+    # blobs) flickers out of locate for several frames — the ledger
+    # attributes ~2% of feature-frames to this; memory bridges the gaps
+    # (trackpy-standard practice for flickering features)
+    kw = dict(diameter=9, separation=5, search_range=3.0, memory=6,
               link_backend="device")
     ct.track(reader, **kw)  # warm run: pays all jit compiles
     with ct.diagnostics.collect() as stats:
@@ -171,14 +175,17 @@ def config2(n_frames=100, reps=1):
         out = ct.track(reader, **kw)
         dt = time.perf_counter() - t0
     n_traj = out["particle"].nunique()
+    lengths = out.groupby("particle").size()
     _emit({
         "config": 2, "metric": "pipeline_frames_per_sec_100feat",
         "value": round(n_frames / dt, 2), "unit": "frames/s",
         "features_per_frame": int(len(out) / n_frames),
         "n_trajectories": int(n_traj),
+        "n_trajectories_min10frames": int((lengths >= 10).sum()),
         "fit_clusters_per_sec": round(
             stats.summary().get("clusters_per_sec", 0), 1
         ),
+        "loss_ledger": stats.ledger,
     })
 
 
@@ -328,6 +335,11 @@ def config5(n_frames=4, features_per_frame=10000):
         "features_tracked_per_frame": int(len(out) / n_frames),
         "fit_clusters_per_sec": round(s.get("clusters_per_sec", 0), 1),
         "n_trajectories": int(out["particle"].nunique()),
+        "loss_ledger": stats.ledger,
+        "by_backend": {
+            k: {kk: round(vv, 1) for kk, vv in v.items()}
+            for k, v in stats.summary_by_backend().items()
+        },
     })
 
 

@@ -47,6 +47,43 @@ def _model_image(params, origin, window_shape, profile, ndim, iso):
     return img
 
 
+# numpy mirrors of models/registry.py's analytic d profile / d r2 — the
+# reference passes an analytic Dfun to leastsq (fitfunc dfun, SURVEY.md
+# §3.1); without one, finite differencing costs (V+1) model evaluations
+# per LM iteration (measured: 8.8 s for ONE spilled 9-feature cluster,
+# V=37, vs ~0.1 s with the analytic Jacobian)
+def _dgauss_np(r2):
+    return -0.5 * np.exp(-0.5 * r2)
+
+
+def _dring_np(r2, thickness=0.2):
+    r = np.sqrt(r2 + 1e-12)
+    f = np.exp(-0.5 * ((r - 1.0) / thickness) ** 2)
+    return f * (1.0 - r) / (thickness * thickness) * 0.5 / r
+
+
+def _dhat_np(r2, disc_size=0.5):
+    r = np.sqrt(r2 + 1e-12)
+    edge = np.maximum(r - disc_size, 0.0)
+    sigma = max(1.0 - disc_size, 1e-3)
+    f = np.exp(-0.5 * (edge / sigma) ** 2)
+    return f * (-edge) / (sigma * sigma) * 0.5 / r
+
+
+def _ddisc_np(r2):
+    r = np.sqrt(r2 + 1e-12)
+    s = 1.0 / (1.0 + np.exp(-(1.0 - r) / 0.1))
+    return s * (1.0 - s) * (-10.0) * 0.5 / r
+
+
+_DPROFILES = {
+    "gauss": _dgauss_np,
+    "ring": _dring_np,
+    "hat": _dhat_np,
+    "disc": _ddisc_np,
+}
+
+
 def fit_cluster_scipy(
     image: np.ndarray,
     params0: np.ndarray,
@@ -79,6 +116,8 @@ def fit_cluster_scipy(
     ndim = image.ndim
     window_shape = tuple(window_shape)
     radius = np.asarray(validate_tuple(radius, ndim), dtype=float)
+    dprofile = _DPROFILES.get(profile) if isinstance(profile, str) \
+        else None
     profile = _resolve_profile(profile)
     n, P = params0.shape
     params = params0.astype(float).copy()
@@ -133,8 +172,58 @@ def fit_cluster_scipy(
             )
             return (img - pixels) * mask / norm
 
+        n_size = 1 if isotropic else ndim
+        extras_fitted = any(
+            slot_idx[i, q] >= 0
+            for i in range(n)
+            for q in range(2 + ndim + n_size, P)
+        )
+
+        def dresid(v):
+            """Analytic [Npix, V] Jacobian — the reference's Dfun."""
+            p = unpack(v, params)
+            J = np.zeros((coords.shape[0], V))
+            if slot_idx[0, 0] >= 0:  # one shared background term
+                J[:, slot_idx[0, 0]] += 1.0
+            for i in range(n):
+                row = p[i]
+                signal = row[1]
+                pos = row[2 : 2 + ndim]
+                size = row[2 + ndim : 2 + ndim + n_size]
+                size_d = np.full(ndim, size[0]) if isotropic else size
+                dxs = (coords - pos) / size_d          # [Npix, D]
+                r2 = np.sum(dxs * dxs, axis=-1)
+                extras = row[2 + ndim + n_size :]
+                f = profile(r2, *extras) if len(extras) else profile(r2)
+                df = (
+                    dprofile(r2, *extras) if len(extras)
+                    else dprofile(r2)
+                )
+                sig_df = signal * df
+                if slot_idx[i, 1] >= 0:
+                    J[:, slot_idx[i, 1]] += f
+                for d in range(ndim):
+                    s = slot_idx[i, 2 + d]
+                    if s >= 0:
+                        J[:, s] += sig_df * (-2.0) * dxs[:, d] / size_d[d]
+                if isotropic:
+                    s = slot_idx[i, 2 + ndim]
+                    if s >= 0:
+                        J[:, s] += sig_df * (-2.0) * r2 / size[0]
+                else:
+                    for d in range(ndim):
+                        s = slot_idx[i, 2 + ndim + d]
+                        if s >= 0:
+                            J[:, s] += (
+                                sig_df * (-2.0) * dxs[:, d] ** 2 / size[d]
+                            )
+            return J * (mask / norm)[:, None]
+
+        kw = dict(leastsq_kwargs)
+        if dprofile is not None and not extras_fitted:
+            kw.setdefault("Dfun", dresid)
         v_opt, cov, info, mesg, ier = leastsq(
-            resid, pack(params), full_output=True, **leastsq_kwargs
+            resid, pack(params), full_output=True, **kw
         )
         nfev_total += info["nfev"]
         params = unpack(v_opt, params)

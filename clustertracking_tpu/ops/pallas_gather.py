@@ -77,11 +77,19 @@ def _geometry(window_shape, frame_shape):
     return wz, wy, wx, R_BLK, W_BLK, full_width
 
 
-def _pick_tile(wz, R_BLK, W_BLK):
-    per_lane = wz * R_BLK * W_BLK * 4
-    tg = _VMEM_BLOCKS_BUDGET // (2 * per_lane)
+def _pick_tile(wz, wy, wx, R_BLK, W_BLK, Npix8):
+    """Largest lane tile whose whole VMEM working set fits.
+
+    Accounts for the double-buffered DMA blocks, the output block (whose
+    lane dim pads to 128 regardless of the tile), and the extraction
+    temporaries (sel one-hots + per-z dot products, all [TG, ~wy|wx,
+    W_BLK]-shaped with W_BLK on the lane axis)."""
+    out_bytes = Npix8 * 128 * 4
+    w8 = -(-max(wy, wx) // 8) * 8
     for cand in (32, 16, 8, 4, 2, 1):
-        if cand <= tg:
+        blocks = 2 * cand * wz * R_BLK * W_BLK * 4
+        temps = 5 * cand * w8 * W_BLK * 4
+        if blocks + temps + out_bytes <= _VMEM_BLOCKS_BUDGET:
             return cand
     return 0
 
@@ -90,8 +98,9 @@ def pallas_gather_available(window_shape, frame_shape) -> bool:
     g = _geometry(tuple(window_shape), tuple(frame_shape))
     if g is None:
         return False
-    wz, _, _, R_BLK, W_BLK, _ = g
-    return _pick_tile(wz, R_BLK, W_BLK) > 0
+    wz, wy, wx, R_BLK, W_BLK, _ = g
+    Npix8 = -(-wz * wy * wx // 8) * 8
+    return _pick_tile(wz, wy, wx, R_BLK, W_BLK, Npix8) > 0
 
 
 def make_pallas_gather(
@@ -123,14 +132,14 @@ def make_pallas_gather(
     wz, wy, wx, R_BLK, W_BLK, full_width = g
     D = len(window_shape)
     is3d = D == 3
+    Npix = int(np.prod(window_shape))
+    Npix8 = -(-Npix // 8) * 8
     if tile_g is None:
-        tile_g = _pick_tile(wz, R_BLK, W_BLK)
+        tile_g = _pick_tile(wz, wy, wx, R_BLK, W_BLK, Npix8)
     if tile_g == 0:
         raise ValueError(
             f"superset blocks for window {window_shape} exceed VMEM"
         )
-    Npix = int(np.prod(window_shape))
-    Npix8 = -(-Npix // 8) * 8
 
     def kernel(sidx_ref, frames_ref, out_ref, blk, sems):
         i = pl.program_id(0)
@@ -190,21 +199,23 @@ def make_pallas_gather(
         selX = jnp.stack(selX_l, axis=0)          # [TG, wx, W_BLK]
 
         # per z-plane: [TG, wy, R]×[TG, R, W] → [TG, wy, W] → ×selXᵀ →
-        # [TG, wy, wx]  (3D×3D batched dots — Mosaic rejects 4D operands)
+        # [TG, wy, wx]  (3D×3D batched dots — Mosaic rejects 4D operands;
+        # W_BLK stays on the LANE axis throughout so nothing pads a tiny
+        # minor dim up to 128)
         for z in range(wz):
             bz = b[:, z]
             tmp = jax.lax.dot_general(
-                bz, selY, (((1,), (2,)), ((0,), (0,))),
+                selY, bz, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )                                     # [TG, W, wy]
+            )                                     # [TG, wy, W]
             win_z = jax.lax.dot_general(
-                selX, tmp, (((2,), (1,)), ((0,), (0,))),
+                tmp, selX, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )                                     # [TG, wx, wy]
+            )                                     # [TG, wy, wx]
             for j in range(wy):
                 out_ref[
                     0, pl.ds((z * wy + j) * wx, wx), :
-                ] = win_z[:, :, j].T
+                ] = win_z[:, j, :].T
         if Npix8 > Npix:
             out_ref[0, Npix:, :] = jnp.zeros(
                 (Npix8 - Npix, tile_g), jnp.float32

@@ -121,12 +121,13 @@ def track(
             find_backend, t_column, checkpoint_dir, checkpoint_every,
             refine_kwargs,
         )
+    reader = _DeviceFrameCache(reader)
+    ndim0 = reader[0].ndim
     if locate_separation is None:
         # cluster members sit CLOSER than `separation` by definition, so
         # peak suppression must use a tighter window or overlapping
         # features merge into one candidate
         sep0 = separation if separation is not None else diameter
-        ndim0 = np.asarray(reader[0]).ndim
         locate_separation = tuple(
             max(2, int(round(s / 2))) for s in validate_tuple(sep0, ndim0)
         )
@@ -135,7 +136,7 @@ def track(
         percentile, max_features, t_column,
     )
 
-    ndim = len(default_pos_columns(np.asarray(reader[0]).ndim))
+    ndim = len(default_pos_columns(ndim0))
     sep = separation if separation is not None else diameter
     f = find_clusters(f, sep, t_column=t_column, backend=find_backend)
     max_cluster = int(refine_kwargs.get("max_cluster_size", 8))
@@ -166,6 +167,49 @@ def track(
     return out
 
 
+class _DeviceFrameCache:
+    """LRU device-resident frame cache wrapped around any reader.
+
+    The pipeline reads every frame twice (locate, then refine); on the
+    axon tunnel (~45 MB/s host→device) each extra pass over a 100-frame
+    512² f32 video costs ~3 s of pure transfer.  The cache pushes each
+    frame to the device once and hands the SAME device array to both
+    stages (refine stacks device arrays device-side).  Capacity is
+    byte-bounded so long videos cannot exhaust HBM; both stages sweep
+    frames in order, so an LRU the size of two dispatch chunks suffices.
+    """
+
+    def __init__(self, reader, max_bytes: int = 2 << 30,
+                 min_frames: int = 8):
+        from collections import OrderedDict
+
+        self._reader = reader
+        self._cache = OrderedDict()
+        self._max_bytes = max_bytes
+        self._min_frames = min_frames
+        self._cap = None
+
+    def __len__(self):
+        return len(self._reader)
+
+    def __getitem__(self, t):
+        import jax.numpy as jnp
+
+        t = int(t)
+        if t in self._cache:
+            self._cache.move_to_end(t)
+            return self._cache[t]
+        fr = jnp.asarray(np.asarray(self._reader[t]), jnp.float32)
+        if self._cap is None:
+            self._cap = max(
+                self._min_frames, int(self._max_bytes // max(fr.nbytes, 1))
+            )
+        self._cache[t] = fr
+        while len(self._cache) > self._cap:
+            self._cache.popitem(last=False)
+        return fr
+
+
 def _locate_frames(
     reader, frame_numbers, diameter, locate_separation, threshold,
     percentile, max_features, t_column, stack_chunk: int = 64,
@@ -176,7 +220,9 @@ def _locate_frames(
     Per-frame locate dispatches pay the full host↔device round-trip each
     (~27 ms on the axon tunnel — RTT-dominated at 100 frames); batching
     cuts that by ~stack_chunk×.  Frames of differing shapes fall back to
-    the per-frame path.
+    the per-frame path.  Device-resident frames (from _DeviceFrameCache)
+    stay on device: the stack and the threshold statistics are computed
+    there.
     """
     import jax
     import jax.numpy as jnp
@@ -188,29 +234,46 @@ def _locate_frames(
     i = 0
     while i < len(frame_numbers):
         chunk = frame_numbers[i:i + stack_chunk]
-        images = [np.asarray(reader[t]) for t in chunk]
-        if len({im.shape for im in images}) != 1:
+        images = [reader[t] for t in chunk]
+        if len({tuple(im.shape) for im in images}) != 1:
             for t, im in zip(chunk, images):
                 f_t = locate(
-                    im, diameter, locate_separation, threshold=threshold,
+                    np.asarray(im), diameter, locate_separation,
+                    threshold=threshold,
                     percentile=percentile, max_features=max_features,
                 )
                 f_t[t_column] = t
                 out.append(f_t)
             i += stack_chunk
             continue
-        stack = np.stack(images).astype(np.float32)
         T = len(chunk)
-        flat = stack.reshape(T, -1)
-        if threshold is None:
-            med = np.median(flat, axis=1)
-            mad = np.median(np.abs(flat - med[:, None]), axis=1)
-            pct = np.percentile(flat, percentile, axis=1)
-            thr = np.maximum(
-                pct, med + 6.0 * 1.4826 * mad
-            ).astype(np.float32)
+        if any(isinstance(im, jax.Array) for im in images):
+            stack = jnp.stack(
+                [jnp.asarray(im, jnp.float32) for im in images]
+            )
+            if threshold is None:
+                flat = stack.reshape(T, -1)
+                med = jnp.median(flat, axis=1)
+                mad = jnp.median(
+                    jnp.abs(flat - med[:, None]), axis=1
+                )
+                pct = jnp.percentile(flat, percentile, axis=1)
+                thr = jnp.maximum(pct, med + 6.0 * 1.4826 * mad)
+            else:
+                thr = jnp.full((T,), threshold, jnp.float32)
         else:
-            thr = np.full(T, threshold, np.float32)
+            stack_np = np.stack(images).astype(np.float32)
+            flat = stack_np.reshape(T, -1)
+            if threshold is None:
+                med = np.median(flat, axis=1)
+                mad = np.median(np.abs(flat - med[:, None]), axis=1)
+                pct = np.percentile(flat, percentile, axis=1)
+                thr = np.maximum(
+                    pct, med + 6.0 * 1.4826 * mad
+                ).astype(np.float32)
+            else:
+                thr = np.full(T, threshold, np.float32)
+            stack = stack_np
         sep = tuple(int(round(s)) for s in locate_separation)
 
         coords, vals, valid, n_cand = jax.jit(
@@ -272,7 +335,8 @@ def _track_checkpointed(
     state_file = ckpt / "state.json"
     results_file = ckpt / "results.pkl"
 
-    ndim0 = np.asarray(reader[0]).ndim
+    reader = _DeviceFrameCache(reader)
+    ndim0 = reader[0].ndim
     sep0 = separation if separation is not None else diameter
     if locate_separation is None:
         locate_separation = tuple(

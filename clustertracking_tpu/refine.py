@@ -575,11 +575,19 @@ def _window_shape(n, ndim, radius, separation, frame_shape):
 # Host orchestration
 # ---------------------------------------------------------------------------
 def _frames_of(reader, frame_numbers):
-    """Fetch frames as a dict {frame_no: ndarray}. Accepts a bare ndarray
-    (single image), a reader supporting __getitem__, or a [T,...] stack."""
+    """Fetch frames as a dict {frame_no: ndarray | jax.Array}.
+
+    Accepts a bare ndarray (single image), a reader supporting
+    __getitem__, or a [T,...] stack.  Frames that are ALREADY device
+    arrays (e.g. from pipeline._DeviceFrameCache) are kept as-is so the
+    chunk stack assembles on device — no host round-trip."""
     if isinstance(reader, np.ndarray) and reader.ndim in (2, 3):
         return {int(t): reader for t in frame_numbers}
-    return {int(t): np.asarray(reader[int(t)]) for t in frame_numbers}
+    out = {}
+    for t in frame_numbers:
+        fr = reader[int(t)]
+        out[int(t)] = fr if isinstance(fr, jax.Array) else np.asarray(fr)
+    return out
 
 
 def refine_leastsq(
@@ -679,7 +687,7 @@ def refine_leastsq(
             tarr = rows[t_column].to_numpy()
             for t in np.unique(tarr):
                 m = tarr == t
-                image = images[int(t)]
+                image = np.asarray(images[int(t)])
                 ipos = np.clip(
                     np.round(pos[m]).astype(int), 0,
                     np.asarray(image.shape) - 1,
@@ -733,10 +741,16 @@ def refine_leastsq(
     for chunk_start in range(0, len(frame_numbers), frames_per_dispatch):
         chunk = frame_numbers[chunk_start : chunk_start + frames_per_dispatch]
         images = _frames_of(reader, chunk)
-        frame_shape = images[int(chunk[0])].shape
-        stack = np.stack(
-            [images[int(t)] for t in chunk], axis=0
-        ).astype(np.float32)
+        frame_shape = tuple(images[int(chunk[0])].shape)
+        vals = [images[int(t)] for t in chunk]
+        if any(isinstance(v, jax.Array) for v in vals):
+            # frames already on device (pipeline's device cache): stack
+            # device-side, no host round-trip
+            stack = jnp.stack(
+                [jnp.asarray(v, jnp.float32) for v in vals], axis=0
+            )
+        else:
+            stack = np.stack(vals, axis=0).astype(np.float32)
         frame_local = {int(t): i for i, t in enumerate(chunk)}
         sub = f[f[t_column].isin(chunk)]
 
@@ -909,7 +923,7 @@ def _spill_scipy(
     for rows in row_groups:
         n = len(rows)
         t = int(rows[t_column].iloc[0])
-        image = images[t]
+        image = np.asarray(images[t])  # scipy path is host-side
         p0 = initial_params(rows, images)
         layout = build_layout(
             model, ndim, isotropic, n, dict(param_mode_key)
