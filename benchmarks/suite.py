@@ -321,8 +321,11 @@ def config5(n_frames=4, features_per_frame=10000):
     reader, truth = _video(
         n_frames, features_per_frame, (1024, 1024), 5.0, seed=5
     )
+    # link_backend 'auto' resolves to the host subnet-optimal linker at
+    # this density (K≈8000/frame): the device auction's dense cost
+    # matrix loses past K≈2000 (measured 5.6 s vs 0.6 s for 4 frames)
     kw = dict(diameter=9, separation=5, search_range=3.0, memory=2,
-              link_backend="device", max_features=16384)
+              link_backend="auto", max_features=16384)
     ct.track(reader, **kw)  # warm run: pays all jit compiles
     with ct.diagnostics.collect() as stats:
         t0 = time.perf_counter()

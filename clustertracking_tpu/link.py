@@ -41,12 +41,20 @@ def link(
 ) -> pd.DataFrame:
     """Assign a ``particle`` column linking features across frames.
 
-    backend='host' is the exact greedy-by-distance reference path;
-    backend='device' runs the lax.scan mutual-NN linker (ops/link.py) —
-    same result on unambiguous frames, documented tie-breaking otherwise.
+    backend='host' is the subnet-optimal reference path (Hungarian per
+    connected component); backend='device' runs the lax.scan auction
+    linker (ops/link.py) — the same assignment objective, solved
+    ε-optimally in parallel; backend='auto' picks device for moderate
+    per-frame counts and host for dense frames, where the device
+    linker's dense [K, K·(memory+2)] cost matrix loses to the host's
+    cKDTree neighbor queries (measured at K≈8000, memory=6: 5.6 s
+    device vs 0.6 s host for 4 frames).
     """
     if pos_columns is None:
         pos_columns = guess_pos_columns(f)
+    if backend == "auto":
+        kmax = int(f.groupby(t_column).size().max()) if len(f) else 0
+        backend = "device" if kmax <= 2048 else "host"
     if backend == "device":
         return _link_device(f, search_range, memory, pos_columns, t_column)
     if backend != "host":

@@ -81,6 +81,11 @@ def sharded_fit(
         # are independent, so the map needs no collectives).  Global-tied
         # slots keep the XLA path (their tie is a cross-device reduce).
         lm_backend="xla",
+        # GSPMD cannot auto-partition a pallas_call, so the sharded path
+        # keeps the XLA row-take gather (the DMA gather kernel is a
+        # single-chip optimization; under shard_map it would be per-shard
+        # anyway and is not exercised multi-chip in this environment)
+        gather_backend="xla",
     )
     defaults.update(solver_kw)
     solver, layout = _bucket_solver(
@@ -90,7 +95,7 @@ def sharded_fit(
         defaults["residual_factor"], defaults["max_iter"],
         defaults["max_shift"], defaults["lm_max_iter"],
         defaults["ftol"], defaults["xtol"], defaults["compute_error"],
-        defaults["lm_backend"],
+        defaults["lm_backend"], defaults["gather_backend"],
     )
     shardings = fit_step_spec(mesh, axis)
 

@@ -104,7 +104,8 @@ def track(
     device scan linker has no serializable incremental form, so
     ``link_backend='device'`` is rejected with a checkpoint_dir).
 
-    ``link_backend`` defaults to 'device' for single-shot runs and 'host'
+    ``link_backend`` defaults to 'auto' (device linker for moderate
+    per-frame counts, host for dense frames) for single-shot runs and 'host'
     for checkpointed runs."""
     if n_frames is None:
         n_frames = len(reader)
@@ -161,7 +162,7 @@ def track(
         search_range = float(np.mean(validate_tuple(diameter, ndim)))
     out = _link(
         f, search_range, memory=memory, t_column=t_column,
-        backend=link_backend if link_backend is not None else "device",
+        backend=link_backend if link_backend is not None else "auto",
     )
     diagnostics.record_ledger(linked=len(out))
     return out

@@ -151,6 +151,7 @@ def _bucket_solver(
     xtol: float,
     compute_error: bool,
     lm_backend: str = "auto",
+    gather_backend: str = "auto",
 ):
     """Build the jitted lockstep solver for one bucket configuration.
 
@@ -408,7 +409,11 @@ def _bucket_solver(
 
         pgather = None
         frames_g = frames
-        if jax.default_backend() == "tpu" and not fused:
+        if (
+            gather_backend == "auto"
+            and jax.default_backend() == "tpu"
+            and not fused
+        ):
             # the DMA kernel needs 8/128-aligned frame dims; pad the
             # stack once per dispatch (origins stay valid — windows are
             # clamped inside the ORIGINAL frame, padding is only ever
@@ -737,6 +742,80 @@ def refine_leastsq(
 
     frame_numbers = sorted(f[t_column].unique())
     frame_shape = None
+    in_flight: list = []
+    drain_queue: list = []
+
+    def _drain_bucket(p):
+        """Fetch one queued bucket's device results and write them back."""
+        from . import diagnostics
+
+        t_fetch = time.perf_counter()
+        params_fit, rms, conv, iters, std = p["handles"]
+        params_fit = np.asarray(params_fit)
+        rms = np.asarray(rms)
+        conv = np.asarray(conv)
+        iters = np.asarray(iters)
+        std = np.asarray(std) if compute_error else None
+        n, B, valid = p["n"], p["B"], p["valid"]
+        pos_mat, layout, con = p["pos_mat"], p["layout"], p["con"]
+        ok_lane = (rms <= max_rms_dev) & np.isfinite(rms) & valid
+        # mirrors _bucket_solver's use_pallas decision — a config
+        # pallas_available rejects (e.g. window too big for VMEM, 3D
+        # rigid pose) actually ran the XLA path and must be recorded
+        ug = bool(
+            np.any(layout.global_slots)
+            or (con is not None and con.kind == "rigid"
+                and con.fit_dist and con.dist_mode == "global")
+        )
+        on_pallas = (
+            jax.default_backend() == "tpu"
+            and lm_backend != "xla"
+            and pallas_available(model, layout, ug, con, p["wshape"])
+        )
+        if con is not None:
+            kind = "rigid" if con.kind == "rigid" else "penalty"
+            backend_str = ("pallas-" if on_pallas else "xla-") + kind
+        elif ug:
+            backend_str = "xla-global"
+        elif on_pallas:
+            backend_str = "pallas"
+        else:
+            backend_str = "xla"
+        diagnostics.record_batch(
+            cluster_size=n,
+            n_clusters=int(valid.sum()),
+            n_lanes=p["Bpad"],
+            n_converged=int((conv & valid).sum()),
+            n_rejected=int((valid & ~ok_lane).sum()),
+            mean_lm_iters=float(iters[valid].mean()) if valid.any()
+            else 0.0,
+            max_lm_iters=int(iters[valid].max()) if valid.any() else 0,
+            mean_rms=float(rms[valid].mean()) if valid.any() else 0.0,
+            # dispatch + this bucket's fetch; device compute overlaps
+            # other buckets, so the SUM approximates the fit-stage wall
+            wall_s=p["dispatch_s"] + (time.perf_counter() - t_fetch),
+            backend=backend_str,
+        )
+
+        # vectorized writeback across the whole bucket
+        rmsB, convB, itB = rms[:B], conv[:B], iters[:B]
+        flat_pos = pos_mat.ravel()
+        # first-class failure flags (SURVEY.md §5): solver convergence
+        # and iteration count per feature, accepted or not
+        conv_buf[flat_pos] = np.repeat(convB, n)
+        iter_buf[flat_pos] = np.repeat(itB, n)
+        ok_l = (rmsB <= max_rms_dev) & np.isfinite(rmsB)
+        if ok_l.any():
+            okpos = pos_mat[ok_l].ravel()
+            pf = params_fit[:B][ok_l]                   # [Bok, n, P]
+            for j, name in enumerate(param_names):
+                param_bufs[name][okpos] = pf[:, :, j].ravel()
+            cost_buf[okpos] = np.repeat(rmsB[ok_l], n)
+            if compute_error:
+                stdok = std[:B][ok_l]
+                for j, name in enumerate(param_names):
+                    std_cols[name][okpos] = stdok[:, :, j].ravel()
+        # rejected: keep originals, cost stays NaN
 
     for chunk_start in range(0, len(frame_numbers), frames_per_dispatch):
         chunk = frame_numbers[chunk_start : chunk_start + frames_per_dispatch]
@@ -812,6 +891,27 @@ def refine_leastsq(
 
             con = con_map.get(n)
             wshape = _window_shape(n, ndim, radius, separation, frame_shape)
+            if n > 1:
+                # Shrink to this batch's ACTUAL cluster bounding box: the
+                # static formula assumes the worst case (a straight chain,
+                # (n-1)·separation per axis), but connected components at
+                # threshold `separation` are usually compact — an n=6
+                # dense-scene bucket measured 37² worst-case vs ~21²
+                # actual, a 3× pixel saving per solve.  Quantized to
+                # multiples of 8 so window shapes (jit keys) stay few.
+                posb = params0[:B, :, 2 : 2 + ndim]
+                ext = (posb.max(axis=1) - posb.min(axis=1)).max(axis=0)
+                margin = 2.0 * max_shift + 3.0
+                dyn = tuple(
+                    min(
+                        w,
+                        max(8, int(-(-(e + 2 * r + margin) // 8) * 8)),
+                    )
+                    for w, e, r in zip(wshape, ext, radius)
+                )
+                wshape = tuple(
+                    min(d, s) for d, s in zip(dyn, frame_shape)
+                )
             solver, layout = _bucket_solver(
                 model, ndim, isotropic, n, param_mode_key, wshape,
                 radius, bounds_key, con, residual_factor,
@@ -829,73 +929,31 @@ def refine_leastsq(
 
             t_dispatch = time.perf_counter()
             with diagnostics.stage(f"fit_bucket_n{n}"):
-                params_fit, rms, conv, iters, std = solver(
+                handles = solver(
                     jnp.asarray(stack), jnp.asarray(fidx),
                     jnp.asarray(params0), jnp.asarray(pose0),
                     jnp.asarray(valid),
                 )
-                params_fit = np.asarray(params_fit)
-                rms = np.asarray(rms)
-                conv = np.asarray(conv)
-                iters = np.asarray(iters)
-                std = np.asarray(std) if compute_error else None
-            ok_lane = (rms <= max_rms_dev) & np.isfinite(rms) & valid
-            # mirrors _bucket_solver's use_pallas decision — a config
-            # pallas_available rejects (e.g. window too big for VMEM, 3D
-            # rigid pose) actually ran the XLA path and must be recorded
-            # as such
-            ug = bool(
-                np.any(layout.global_slots)
-                or (con is not None and con.kind == "rigid"
-                    and con.fit_dist and con.dist_mode == "global")
-            )
-            on_pallas = (
-                jax.default_backend() == "tpu"
-                and lm_backend != "xla"
-                and pallas_available(model, layout, ug, con, wshape)
-            )
-            if con is not None:
-                kind = "rigid" if con.kind == "rigid" else "penalty"
-                backend_str = ("pallas-" if on_pallas else "xla-") + kind
-            elif ug:
-                backend_str = "xla-global"
-            elif on_pallas:
-                backend_str = "pallas"
-            else:
-                backend_str = "xla"
-            diagnostics.record_batch(
-                cluster_size=n,
-                n_clusters=int(valid.sum()),
-                n_lanes=Bpad,
-                n_converged=int((conv & valid).sum()),
-                n_rejected=int((valid & ~ok_lane).sum()),
-                mean_lm_iters=float(iters[valid].mean()) if valid.any()
-                else 0.0,
-                max_lm_iters=int(iters[valid].max()) if valid.any() else 0,
-                mean_rms=float(rms[valid].mean()) if valid.any() else 0.0,
-                wall_s=time.perf_counter() - t_dispatch,
-                backend=backend_str,
-            )
+            # dispatch is asynchronous — queue the device handles and
+            # fetch a chunk LATER (pipelining: the device runs this
+            # bucket while the host assembles the next ones, spills run
+            # scipy, and on the tunnel the per-dispatch ~27 ms round
+            # trips overlap instead of serializing)
+            in_flight.append(dict(
+                handles=handles, n=n, B=B, Bpad=Bpad, valid=valid,
+                pos_mat=pos_mat, layout=layout, con=con, wshape=wshape,
+                dispatch_s=time.perf_counter() - t_dispatch,
+            ))
 
-            # vectorized writeback across the whole bucket
-            rmsB, convB, itB = rms[:B], conv[:B], iters[:B]
-            flat_pos = pos_mat.ravel()
-            # first-class failure flags (SURVEY.md §5): solver convergence
-            # and iteration count per feature, accepted or not
-            conv_buf[flat_pos] = np.repeat(convB, n)
-            iter_buf[flat_pos] = np.repeat(itB, n)
-            ok_l = (rmsB <= max_rms_dev) & np.isfinite(rmsB)
-            if ok_l.any():
-                okpos = pos_mat[ok_l].ravel()
-                pf = params_fit[:B][ok_l]               # [Bok, n, P]
-                for j, name in enumerate(param_names):
-                    param_bufs[name][okpos] = pf[:, :, j].ravel()
-                cost_buf[okpos] = np.repeat(rmsB[ok_l], n)
-                if compute_error:
-                    stdok = std[:B][ok_l]
-                    for j, name in enumerate(param_names):
-                        std_cols[name][okpos] = stdok[:, :, j].ravel()
-            # rejected: keep originals, cost stays NaN
+        # keep at most one chunk's dispatches in flight (bounds device
+        # memory: two chunks' frame stacks + results live at once)
+        for p in drain_queue:
+            _drain_bucket(p)
+        drain_queue = in_flight
+        in_flight = []
+
+    for p in drain_queue:
+        _drain_bucket(p)
 
     for name in param_names:
         out[name] = param_bufs[name]
