@@ -226,6 +226,10 @@ def fit_cluster_scipy(
             resid, pack(params), full_output=True, **kw
         )
         nfev_total += info["nfev"]
+        if not np.isfinite(v_opt).all():
+            # degenerate cluster (e.g. near-coincident features): the
+            # solve diverged — reject instead of iterating on NaNs
+            return unpack(pack(params), params), np.inf, nfev_total
         params = unpack(v_opt, params)
         r = resid(v_opt)
         rms = np.sqrt(np.sum(r**2) / max(mask.sum(), 1))

@@ -87,9 +87,20 @@ def track(
     t_column: str = "frame",
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 16,
+    recover_passes: int = 0,
     **refine_kwargs,
 ) -> pd.DataFrame:
     """Full pipeline over a video reader: returns refined, linked features.
+
+    ``recover_passes`` (new capability): in dense scenes, overlapping
+    features whose intensity peaks MERGE are invisible to any local-
+    maxima locator (the config-5 ledger attributes a 19% feature loss to
+    exactly this).  Each recovery pass renders the fitted model on
+    device (ops/synth.py), subtracts it from the frames, re-locates
+    candidates in the residual — where the missed partner of a blended
+    pair stands alone — and refits ALL features together (previous fits
+    provide warm starts).  Passes stop early when a residual sweep finds
+    nothing new.
 
     ``reader[t]`` must yield frames (CoordinateReader, ndarray stack via a
     list, or any pims-like reader).
@@ -138,6 +149,7 @@ def track(
     )
 
     ndim = len(default_pos_columns(ndim0))
+    pos_columns = default_pos_columns(ndim0)
     sep = separation if separation is not None else diameter
     f = find_clusters(f, sep, t_column=t_column, backend=find_backend)
     max_cluster = int(refine_kwargs.get("max_cluster_size", 8))
@@ -145,6 +157,76 @@ def track(
     f = refine_leastsq(
         f, reader, diameter, sep, t_column=t_column, **refine_kwargs
     )
+    for _ in range(recover_passes):
+        from scipy.spatial import cKDTree
+
+        dup_r = 0.5 * float(min(locate_separation))
+        acc = f[f["cost"].notna()]
+        new = _locate_frames(
+            _ResidualReader(
+                reader, acc, refine_kwargs.get("fit_function", "gauss"),
+                t_column, pos_columns,
+            ),
+            range(n_frames), diameter, locate_separation, threshold,
+            percentile, max_features, t_column,
+        )
+        if len(new):
+            # drop residual candidates sitting ON TOP of an already
+            # fitted feature (imperfect fits leave small residual peaks);
+            # the radius must stay well below the blend distance or the
+            # hidden partner of a merged pair — the whole point of the
+            # pass, ~1-2 px from the blob-center fit — would be dropped
+            kept = []
+            for t, g in new.groupby(t_column):
+                at = acc[acc[t_column] == t]
+                if len(at):
+                    tree = cKDTree(at[pos_columns].to_numpy())
+                    d, _ = tree.query(g[pos_columns].to_numpy(), k=1)
+                    kept.append(g[d >= dup_r])
+                else:
+                    kept.append(g)
+            new = pd.concat(kept, ignore_index=True) if kept else new
+        if not len(new):
+            break
+        diagnostics.record_ledger(recovered_candidates=len(new))
+        cols = pos_columns + ["signal", t_column]
+        combined = pd.concat(
+            [acc[cols], new[cols]], ignore_index=True
+        )
+        combined = find_clusters(
+            combined, sep, t_column=t_column, backend=find_backend
+        )
+        n_spill += int(
+            (combined["cluster_size"] > max_cluster).sum()
+        )
+        sig_floor = 0.05 * float(acc["signal"].median())
+        f = refine_leastsq(
+            combined, reader, diameter, sep, t_column=t_column,
+            **refine_kwargs,
+        )
+        # a superfluous candidate (e.g. both residual lobes of a blended
+        # pair plus the original) converges to ~zero signal in the joint
+        # refit — prune it rather than emit a ghost feature
+        ghost = f["cost"].notna() & (f["signal"] < sig_floor)
+        # ...or the refit splits one true feature's signal across two
+        # near-coincident candidates: drop the dimmer of any accepted
+        # pair closer than dup_r (true features sit >= separation apart)
+        gvals = ghost.to_numpy().copy()
+        sig_np = f["signal"].to_numpy()
+        okv = f["cost"].notna().to_numpy()
+        for t, idx in f.groupby(t_column).indices.items():
+            live = idx[okv[idx] & ~gvals[idx]]
+            if len(live) < 2:
+                continue
+            tree = cKDTree(f.iloc[live][pos_columns].to_numpy())
+            for a, b in tree.query_pairs(dup_r):
+                dimmer = live[a] if sig_np[live[a]] <= sig_np[live[b]] \
+                    else live[b]
+                gvals[dimmer] = True
+        ghost = pd.Series(gvals, index=f.index)
+        if ghost.any():
+            diagnostics.record_ledger(ghosts_pruned=int(ghost.sum()))
+            f = f[~ghost]
     ok = f["cost"].notna()
     # loss ledger: every feature between locate and the linked output is
     # accounted for (spilled features are still fit — on the host scipy
@@ -209,6 +291,70 @@ class _DeviceFrameCache:
         while len(self._cache) > self._cap:
             self._cache.popitem(last=False)
         return fr
+
+
+class _ResidualReader:
+    """``reader[t] → frame − rendered fit`` (device-side): the residual
+    stream the recovery pass re-locates on.
+
+    The fitted model is rasterized with ops/synth.render_frames from the
+    accepted features' fitted parameters; subtracting it leaves missed
+    features (blended peaks) standing alone.  A fitted per-cluster
+    background is NOT subtracted (it is typically 'const' 0; a nonzero
+    one raises the residual floor uniformly, which the MAD-floored
+    locate threshold absorbs)."""
+
+    def __init__(self, reader, f_acc, fit_function, t_column,
+                 pos_columns):
+        from .models.registry import get_model
+        from .utils import default_size_columns
+
+        self._reader = reader
+        self._model = get_model(fit_function)
+        ndim = len(pos_columns)
+        aniso_cols = default_size_columns(ndim, False)
+        size_cols = (
+            aniso_cols
+            if all(c in f_acc.columns for c in aniso_cols)
+            else default_size_columns(ndim, True)
+        )
+        self._by_frame = {}
+        for t, g in f_acc.groupby(t_column):
+            pos = g[pos_columns].to_numpy(dtype=np.float32)
+            sig = g["signal"].to_numpy(dtype=np.float32)
+            sizes = g[size_cols].to_numpy(dtype=np.float32)
+            if sizes.shape[1] == 1:
+                sizes = np.repeat(sizes, ndim, axis=1)
+            extras = tuple(
+                g[e].to_numpy(dtype=np.float32)
+                for e in self._model.extra_params
+            )
+            self._by_frame[int(t)] = (pos, sig, sizes, extras)
+
+    def __len__(self):
+        return len(self._reader)
+
+    def __getitem__(self, t):
+        import jax.numpy as jnp
+
+        from .ops.synth import render_frames
+
+        frame = self._reader[int(t)]
+        entry = self._by_frame.get(int(t))
+        if entry is None:
+            return jnp.asarray(frame, jnp.float32)
+        pos, sig, sizes, extras = entry
+        shape = tuple(frame.shape)
+        smax = float(sizes.max()) if sizes.size else 1.0
+        window = tuple(
+            min(int(np.ceil(10 * smax)) + 1, int(d)) for d in shape
+        )
+        fidx = np.zeros(len(pos), np.int32)
+        rendered = render_frames(
+            pos, sig, sizes, fidx, 1, shape,
+            fit_function=self._model, window=window, extras=extras,
+        )[0]
+        return jnp.asarray(frame, jnp.float32) - rendered
 
 
 def _locate_frames(
