@@ -564,6 +564,32 @@ def _bucket_solver(
     return solve, layout
 
 
+@lru_cache(maxsize=4)
+def _result_packer(compute_error: bool):
+    """Pack a bucket's five solver outputs into ONE [B, X] f32 array.
+
+    On the axon tunnel every device→host fetch pays a ~27 ms round-trip
+    floor; fetching five arrays per bucket serially cost ~135 ms/bucket
+    — the measured ~100 ms/bucket fit-stage floor regardless of lane
+    count.  One packed array = one fetch.  conv packs as 0/1 and iters
+    as f32 (exact below 2²⁴)."""
+
+    @jax.jit
+    def pack(params, rms, conv, iters, std):
+        B = params.shape[0]
+        cols = [
+            params.reshape(B, -1),
+            rms[:, None],
+            conv[:, None].astype(jnp.float32),
+            iters[:, None].astype(jnp.float32),
+        ]
+        if compute_error:
+            cols.append(std.reshape(B, -1))
+        return jnp.concatenate(cols, axis=1)
+
+    return pack
+
+
 def _window_shape(n, ndim, radius, separation, frame_shape):
     """Static window extent per bucket: cluster bbox + radius margin.
 
@@ -750,13 +776,17 @@ def refine_leastsq(
         from . import diagnostics
 
         t_fetch = time.perf_counter()
-        params_fit, rms, conv, iters, std = p["handles"]
-        params_fit = np.asarray(params_fit)
-        rms = np.asarray(rms)
-        conv = np.asarray(conv)
-        iters = np.asarray(iters)
-        std = np.asarray(std) if compute_error else None
+        packed = np.asarray(p["handles"])           # ONE device fetch
         n, B, valid = p["n"], p["B"], p["valid"]
+        nP = n * len(param_names)
+        params_fit = packed[:, :nP].reshape(-1, n, len(param_names))
+        rms = packed[:, nP]
+        conv = packed[:, nP + 1] > 0.5
+        iters = packed[:, nP + 2].astype(np.int64)
+        std = (
+            packed[:, nP + 3 :].reshape(-1, n, len(param_names))
+            if compute_error else None
+        )
         pos_mat, layout, con = p["pos_mat"], p["layout"], p["con"]
         ok_lane = (rms <= max_rms_dev) & np.isfinite(rms) & valid
         # mirrors _bucket_solver's use_pallas decision — a config
@@ -929,11 +959,11 @@ def refine_leastsq(
 
             t_dispatch = time.perf_counter()
             with diagnostics.stage(f"fit_bucket_n{n}"):
-                handles = solver(
+                handles = _result_packer(compute_error)(*solver(
                     jnp.asarray(stack), jnp.asarray(fidx),
                     jnp.asarray(params0), jnp.asarray(pose0),
                     jnp.asarray(valid),
-                )
+                ))
             # dispatch is asynchronous — queue the device handles and
             # fetch a chunk LATER (pipelining: the device runs this
             # bucket while the host assembles the next ones, spills run
