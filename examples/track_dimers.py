@@ -79,8 +79,10 @@ def main():
 
     # cluster kinematics: translational + rotational diffusion
     est = ct.motion.diffusion_constants(linked, max_lagtime=4)
-    print(f"D_trans = {est['D_trans']:.4f}  (truth 0.05)")
-    print(f"D_rot   = {est['D_rot']:.4f}  (truth 0.02)")
+    print(f"D_trans = {est['D_trans']:.4f} ± {est['D_trans_std']:.4f}"
+          "  (truth 0.05)")
+    print(f"D_rot   = {est['D_rot']:.4f} ± {est['D_rot_std']:.4f}"
+          "  (truth 0.02)")
 
 
 if __name__ == "__main__":
