@@ -80,8 +80,11 @@ def _rigid_kernel_slots(layout: ParamLayout, constraint):
     (Qt, keep, drop, remap) where keep/drop index the FULL vect and
     remap maps a std slot index to its compact row (-1 for positions).
     """
+    from ..constraints import pose_dim
+
     n = layout.n_features
-    Qt = 3 + int(constraint.fit_dist)  # 2D: center(2) + angle (+ dist)
+    # 2D: center(2)+angle; 3D dimer: center(3)+polar+azimuth (+ dist)
+    Qt = pose_dim(constraint) + int(constraint.fit_dist)
     pos_slots = {
         int(layout.slot_idx[i, p])
         for i in range(n)
@@ -98,10 +101,15 @@ def _rigid_kernel_slots(layout: ParamLayout, constraint):
 
 
 def _rigid_supported(layout: ParamLayout, constraint) -> bool:
-    """Rigid constraints the kernel inlines: 2D n-gon pose (closed-form
-    trig chain rule), per-cluster fitted distance OK; 3D poses and
-    global-tied distances stay on the XLA path."""
-    if constraint.kind != "rigid" or layout.ndim != 2:
+    """Rigid constraints the kernel inlines: 2D n-gon poses and the 3D
+    dimer axis pose (both closed-form trig chain rules), per-cluster
+    fitted distance OK; 3D trimer/tetramer (Rodrigues rotation-vector
+    Jacobian) and global-tied distances stay on the XLA path."""
+    if constraint.kind != "rigid":
+        return False
+    if layout.ndim == 3 and constraint.cluster_size != 2:
+        return False
+    if layout.ndim not in (2, 3):
         return False
     if constraint.fit_dist and constraint.dist_mode == "global":
         return False
@@ -120,9 +128,11 @@ def pallas_available(model: ModelSpec, layout: ParamLayout,
 
     Not covered (falls back to ops/lm.py): cross-lane-tied 'global' slots
     (need a cross-tile reduction), generic penalty constraints and 3D
-    rigid poses (rigid 2D poses ARE covered — the pose chain rule is
-    closed-form trig inlined in the kernel), zero-slot layouts, and
-    windows whose resident pixel inputs alone exceed VMEM (~8500 pixels).
+    rigid trimer/tetramer poses (rigid 2D n-gon poses AND the 3D dimer
+    axis pose ARE covered — their pose chain rules are closed-form trig
+    inlined in the kernel; the Rodrigues rotation-vector Jacobian is
+    not), zero-slot layouts, and windows whose resident pixel inputs
+    alone exceed VMEM (~8500 pixels).
     """
     if use_global or layout.n_slots == 0:
         return False
@@ -213,9 +223,10 @@ def make_pallas_lm(
             layout, constraint
         )
         fit_dist = bool(constraint.fit_dist)
-        circ = float(circumradius_factor(n, 2))
-        alphas = [2.0 * math.pi * i / n for i in range(n)]
+        circ = float(circumradius_factor(n, layout.ndim))
+        alphas = [2.0 * math.pi * i / n for i in range(n)]  # 2D n-gon
         fixed_dist = None if fit_dist else float(constraint.dist)
+        dist_row = Qt - 1  # compact row of the fitted distance
         Vk = len(keep_idx)  # compact kernel vector length
         lo_full = np.asarray(lo, np.float32)
         hi_full = np.asarray(hi, np.float32)
@@ -353,21 +364,43 @@ def make_pallas_lm(
             if with_jac and slot_idx[0, bg_p] >= 0:
                 add(krow(int(slot_idx[0, bg_p])), wc)
 
-            if rigid:
+            if rigid and D == 2:
                 # pose rows: positions are center + R_c·(sin, cos)(θ+αᵢ)
                 # — constraints.py::pose_to_positions inlined (2D n-gon)
                 cy, cx, th = _row(x, 0), _row(x, 1), _row(x, 2)
-                Rc = circ * (_row(x, 3) if fit_dist else fixed_dist)
+                Rc = circ * (_row(x, dist_row) if fit_dist else fixed_dist)
+            elif rigid:
+                # 3D dimer axis pose: positions = center ± R_c·u with
+                # u = (cosθ, sinθ·sinφ, sinθ·cosφ) in (z, y, x) —
+                # constraints.py::pose_to_positions (n=2, 3D) inlined
+                cz, cy, cx = _row(x, 0), _row(x, 1), _row(x, 2)
+                th3, ph3 = _row(x, 3), _row(x, 4)
+                Rc = circ * (_row(x, dist_row) if fit_dist else fixed_dist)
+                sth, cth = jnp.sin(th3), jnp.cos(th3)
+                sph, cph = jnp.sin(ph3), jnp.cos(ph3)
+                u3 = (cth, sth * sph, sth * cph)
+                # ∂u/∂θ and ∂u/∂φ (closed form)
+                du_dth = (-sth, cth * sph, cth * cph)
+                du_dph = (
+                    jnp.zeros_like(sth), sth * cph, -sth * sph
+                )
 
             for i in range(n):
                 sig = prow(x, i, sig_p)
                 ex = [prow(x, i, p) for p in extra_p]
                 sizes = [prow(x, i, p) for p in size_p]
-                if rigid:
+                if rigid and D == 2:
                     si = jnp.sin(th + alphas[i])
                     ci = jnp.cos(th + alphas[i])
                     rels = [cy + Rc * si - _row(org, 0),
                             cx + Rc * ci - _row(org, 1)]
+                elif rigid:
+                    sgn = 1.0 if i == 0 else -1.0
+                    rels = [
+                        cz + sgn * Rc * u3[0] - _row(org, 0),
+                        cy + sgn * Rc * u3[1] - _row(org, 1),
+                        cx + sgn * Rc * u3[2] - _row(org, 2),
+                    ]
                 dxs = []
                 r2 = None
                 for d in range(D):
@@ -385,7 +418,7 @@ def make_pallas_lm(
                 sig_df = sig * (dfun(r2, *ex) if n_extra else dfun(r2))
                 if slot_idx[i, sig_p] >= 0:
                     add(krow(int(slot_idx[i, sig_p])), f * wc)
-                if rigid:
+                if rigid and D == 2:
                     # chain rule through the pose map: ∂r/∂pose =
                     # Σ_d (∂r/∂pos_d)·(∂pos_d/∂pose), closed-form trig
                     s0 = sizes[0]
@@ -396,7 +429,30 @@ def make_pallas_lm(
                     add(1, cx_c)
                     add(2, Rc * (ci * cy_c - si * cx_c))   # ∂/∂θ
                     if fit_dist:
-                        add(3, circ * (si * cy_c + ci * cx_c))
+                        add(dist_row, circ * (si * cy_c + ci * cx_c))
+                elif rigid:
+                    # 3D dimer chain rule: pos_i = center + s·R_c·u
+                    sgn = 1.0 if i == 0 else -1.0
+                    g = []
+                    for d in range(3):
+                        s_d = sizes[0] if layout.isotropic else sizes[d]
+                        g.append(
+                            sig_df * (-2.0) * dxs[d] / s_d * wc
+                        )
+                    add(0, g[0])                       # ∂pos/∂center = I
+                    add(1, g[1])
+                    add(2, g[2])
+                    add(3, sgn * Rc * (
+                        du_dth[0] * g[0] + du_dth[1] * g[1]
+                        + du_dth[2] * g[2]
+                    ))
+                    add(4, sgn * Rc * (
+                        du_dph[1] * g[1] + du_dph[2] * g[2]
+                    ))
+                    if fit_dist:
+                        add(dist_row, sgn * circ * (
+                            u3[0] * g[0] + u3[1] * g[1] + u3[2] * g[2]
+                        ))
                 else:
                     for d in range(D):
                         if slot_idx[i, pos_p[d]] >= 0:

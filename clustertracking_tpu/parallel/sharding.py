@@ -105,10 +105,6 @@ def sharded_fit(
         and not np.any(
             layout.global_slots
         )
-        # with compute_error the 5th solver output (std) is per-lane, but
-        # the out_specs below declare it replicated (only correct for the
-        # shape-(0,) placeholder) — keep the GSPMD path in that case
-        and not defaults["compute_error"]
     )
     if use_shard_map:
         # pallas_call outputs carry no varying-mesh-axes metadata, so the
@@ -121,11 +117,15 @@ def sharded_fit(
             _kw = {"check_rep": False}
 
         lane = P(axis)
+        # std (5th output) is per-lane when compute_error is on; without
+        # it the solver returns a shape-(0,) placeholder, which must be
+        # declared replicated
+        std_spec = lane if defaults["compute_error"] else P()
         mapped = shard_map(
             solver,
             mesh=mesh,
             in_specs=(P(), lane, lane, lane, lane),
-            out_specs=(lane, lane, lane, lane, P()),
+            out_specs=(lane, lane, lane, lane, std_spec),
             **_kw,
         )
 

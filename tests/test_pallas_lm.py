@@ -401,3 +401,41 @@ def test_pallas_rigid_fused_gather_matches():
     np.testing.assert_allclose(
         out_p[cols].to_numpy(), out_x[cols].to_numpy(), rtol=0, atol=5e-4
     )
+
+
+def test_pallas_rigid_3d_dimer_matches_xla():
+    """3D dimer axis pose inlined in the kernel (center + polar/azimuth
+    trig chain rule) must match the XLA rigid path and conserve the bond
+    exactly."""
+    import pandas as pd
+    import clustertracking_tpu as ct
+    import clustertracking_tpu.artificial as artificial
+
+    rng = np.random.default_rng(7)
+    true_d = 5.0
+    img = np.zeros((48, 64, 64))
+    rows = []
+    for c in [(20, 20, 20), (28, 44, 40)]:
+        true = artificial.draw_cluster(
+            img, np.asarray(c, float), size=2.0, separation=true_d,
+            n=2, signal=150.0, angle=rng.uniform(0, np.pi),
+        )
+        for p in true + rng.uniform(-0.25, 0.25, true.shape):
+            rows.append({"frame": 0, "z": p[0], "y": p[1], "x": p[2],
+                         "signal": 150.0, "size": 2.0})
+    f = pd.DataFrame(rows)
+    con = ct.dimer(true_d, ndim=3)
+    common = dict(diameter=9, separation=6, constraints=con,
+                  param_val={"size": 2.0})
+    out_x = ct.refine_leastsq(f, img, lm_backend="xla", **common)
+    out_p = ct.refine_leastsq(f, img, lm_backend="pallas", **common)
+
+    cols = ["z", "y", "x", "signal"]
+    np.testing.assert_allclose(
+        out_p[cols].to_numpy(), out_x[cols].to_numpy(),
+        rtol=0, atol=1e-3,
+    )
+    pos = out_p[["z", "y", "x"]].to_numpy().reshape(-1, 2, 3)
+    for cl in pos:
+        d = np.linalg.norm(cl[0] - cl[1])
+        assert abs(d - true_d) < 1e-4  # bond conserved exactly
