@@ -101,13 +101,11 @@ def _rigid_kernel_slots(layout: ParamLayout, constraint):
 
 
 def _rigid_supported(layout: ParamLayout, constraint) -> bool:
-    """Rigid constraints the kernel inlines: 2D n-gon poses and the 3D
-    dimer axis pose (both closed-form trig chain rules), per-cluster
-    fitted distance OK; 3D trimer/tetramer (Rodrigues rotation-vector
-    Jacobian) and global-tied distances stay on the XLA path."""
+    """Rigid constraints the kernel inlines: 2D n-gon poses, the 3D
+    dimer axis pose, and 3D rotation-vector poses (trimer/tetramer/
+    n-gon — Rodrigues + the SO(3) right Jacobian, all closed form);
+    global-tied distances stay on the XLA path."""
     if constraint.kind != "rigid":
-        return False
-    if layout.ndim == 3 and constraint.cluster_size != 2:
         return False
     if layout.ndim not in (2, 3):
         return False
@@ -227,6 +225,12 @@ def make_pallas_lm(
         alphas = [2.0 * math.pi * i / n for i in range(n)]  # 2D n-gon
         fixed_dist = None if fit_dist else float(constraint.dist)
         dist_row = Qt - 1  # compact row of the fitted distance
+        if layout.ndim == 3 and n > 2:
+            from ..constraints import base_vertices
+
+            base3 = base_vertices(n, 3).tolist()  # [n][3] python floats
+        else:
+            base3 = None
         Vk = len(keep_idx)  # compact kernel vector length
         lo_full = np.asarray(lo, np.float32)
         hi_full = np.asarray(hi, np.float32)
@@ -369,7 +373,7 @@ def make_pallas_lm(
                 # — constraints.py::pose_to_positions inlined (2D n-gon)
                 cy, cx, th = _row(x, 0), _row(x, 1), _row(x, 2)
                 Rc = circ * (_row(x, dist_row) if fit_dist else fixed_dist)
-            elif rigid:
+            elif rigid and n == 2:
                 # 3D dimer axis pose: positions = center ± R_c·u with
                 # u = (cosθ, sinθ·sinφ, sinθ·cosφ) in (z, y, x) —
                 # constraints.py::pose_to_positions (n=2, 3D) inlined
@@ -384,6 +388,87 @@ def make_pallas_lm(
                 du_dph = (
                     jnp.zeros_like(sth), sth * cph, -sth * sph
                 )
+            elif rigid:
+                # 3D rotation-vector pose (trimer/tetramer/n-gon):
+                # pos_i = center + R_c·R(v)·b_i with R via Rodrigues;
+                # ∂(R b)/∂v = −R·[b]×·J_r(v), J_r the SO(3) right
+                # Jacobian = I − B[v]× + C[v]×² (verified vs jacfwd of
+                # constraints.py::pose_to_positions to f32 eps).  All
+                # 3×3 matrices live as [1, TB] rows — pure VPU algebra,
+                # mirrors constraints.py::_rodrigues component order.
+                cz, cy, cx = _row(x, 0), _row(x, 1), _row(x, 2)
+                Rc = circ * (_row(x, dist_row) if fit_dist else fixed_dist)
+                v3 = [_row(x, 3), _row(x, 4), _row(x, 5)]
+                th2 = v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2]
+                theta = jnp.sqrt(jnp.maximum(th2, 1e-24))
+                small = theta < 1e-3
+                sA = jnp.where(
+                    small, 1.0 - th2 / 6.0, jnp.sin(theta) / theta
+                )
+                sB = jnp.where(
+                    small, 0.5 - th2 / 24.0,
+                    (1.0 - jnp.cos(theta)) / jnp.maximum(th2, 1e-24),
+                )
+                sC = jnp.where(
+                    small, 1.0 / 6.0 - th2 / 120.0,
+                    (theta - jnp.sin(theta))
+                    / jnp.maximum(th2 * theta, 1e-30),
+                )
+                zero = jnp.zeros_like(theta)
+                Km = [
+                    [zero, -v3[2], v3[1]],
+                    [v3[2], zero, -v3[0]],
+                    [-v3[1], v3[0], zero],
+                ]
+                K2 = [
+                    [
+                        sum(Km[a][k] * Km[k][b] for k in range(3))
+                        for b in range(3)
+                    ]
+                    for a in range(3)
+                ]
+                eye = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+                Rm = [
+                    [
+                        eye[a][b] + sA * Km[a][b] + sB * K2[a][b]
+                        for b in range(3)
+                    ]
+                    for a in range(3)
+                ]
+                Jr = [
+                    [
+                        eye[a][b] - sB * Km[a][b] + sC * K2[a][b]
+                        for b in range(3)
+                    ]
+                    for a in range(3)
+                ]
+                Rb3 = []   # per feature: R·b_i rows [3]
+                M3 = []    # per feature: −R [b_i]× J_r rows [3][3]
+                for bi in base3:
+                    Rb3.append([
+                        Rm[a][0] * bi[0] + Rm[a][1] * bi[1]
+                        + Rm[a][2] * bi[2]
+                        for a in range(3)
+                    ])
+                    hb = [
+                        [0.0, -bi[2], bi[1]],
+                        [bi[2], 0.0, -bi[0]],
+                        [-bi[1], bi[0], 0.0],
+                    ]
+                    T = [
+                        [
+                            sum(hb[p][k] * Jr[k][q] for k in range(3))
+                            for q in range(3)
+                        ]
+                        for p in range(3)
+                    ]
+                    M3.append([
+                        [
+                            -sum(Rm[a][p] * T[p][q] for p in range(3))
+                            for q in range(3)
+                        ]
+                        for a in range(3)
+                    ])
 
             for i in range(n):
                 sig = prow(x, i, sig_p)
@@ -394,12 +479,18 @@ def make_pallas_lm(
                     ci = jnp.cos(th + alphas[i])
                     rels = [cy + Rc * si - _row(org, 0),
                             cx + Rc * ci - _row(org, 1)]
-                elif rigid:
+                elif rigid and n == 2:
                     sgn = 1.0 if i == 0 else -1.0
                     rels = [
                         cz + sgn * Rc * u3[0] - _row(org, 0),
                         cy + sgn * Rc * u3[1] - _row(org, 1),
                         cx + sgn * Rc * u3[2] - _row(org, 2),
+                    ]
+                elif rigid:
+                    rels = [
+                        cz + Rc * Rb3[i][0] - _row(org, 0),
+                        cy + Rc * Rb3[i][1] - _row(org, 1),
+                        cx + Rc * Rb3[i][2] - _row(org, 2),
                     ]
                 dxs = []
                 r2 = None
@@ -430,7 +521,7 @@ def make_pallas_lm(
                     add(2, Rc * (ci * cy_c - si * cx_c))   # ∂/∂θ
                     if fit_dist:
                         add(dist_row, circ * (si * cy_c + ci * cx_c))
-                elif rigid:
+                elif rigid and n == 2:
                     # 3D dimer chain rule: pos_i = center + s·R_c·u
                     sgn = 1.0 if i == 0 else -1.0
                     g = []
@@ -452,6 +543,27 @@ def make_pallas_lm(
                     if fit_dist:
                         add(dist_row, sgn * circ * (
                             u3[0] * g[0] + u3[1] * g[1] + u3[2] * g[2]
+                        ))
+                elif rigid:
+                    # rotation-vector chain rule: ∂pos_i/∂v = R_c·M_i
+                    g = []
+                    for d in range(3):
+                        s_d = sizes[0] if layout.isotropic else sizes[d]
+                        g.append(
+                            sig_df * (-2.0) * dxs[d] / s_d * wc
+                        )
+                    add(0, g[0])                       # ∂pos/∂center = I
+                    add(1, g[1])
+                    add(2, g[2])
+                    for q in range(3):
+                        add(3 + q, Rc * (
+                            M3[i][0][q] * g[0] + M3[i][1][q] * g[1]
+                            + M3[i][2][q] * g[2]
+                        ))
+                    if fit_dist:
+                        add(dist_row, circ * (
+                            Rb3[i][0] * g[0] + Rb3[i][1] * g[1]
+                            + Rb3[i][2] * g[2]
                         ))
                 else:
                     for d in range(D):

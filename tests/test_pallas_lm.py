@@ -439,3 +439,45 @@ def test_pallas_rigid_3d_dimer_matches_xla():
     for cl in pos:
         d = np.linalg.norm(cl[0] - cl[1])
         assert abs(d - true_d) < 1e-4  # bond conserved exactly
+
+
+def test_pallas_rigid_3d_tetramer_matches_xla():
+    """3D rotation-vector pose (Rodrigues + SO(3) right Jacobian)
+    inlined in the kernel: tetramer fits must match the XLA rigid path
+    and conserve every edge exactly."""
+    import pandas as pd
+    import clustertracking_tpu as ct
+    import clustertracking_tpu.artificial as artificial
+
+    rng = np.random.default_rng(11)
+    # small geometry keeps the dynamic window at (16,16,16) = 4096
+    # voxels — within the kernel's VMEM residency; larger windows fall
+    # back to the XLA path by design (pallas_available gates them)
+    true_d = 3.2
+    img = np.zeros((48, 64, 64))
+    rows = []
+    for c in [(22, 22, 22), (26, 44, 40)]:
+        true = artificial.draw_cluster(
+            img, np.asarray(c, float), size=1.5, separation=true_d,
+            n=4, signal=150.0, angle=rng.uniform(0, np.pi),
+        )
+        for p in true + rng.uniform(-0.2, 0.2, true.shape):
+            rows.append({"frame": 0, "z": p[0], "y": p[1], "x": p[2],
+                         "signal": 150.0, "size": 1.5})
+    f = pd.DataFrame(rows)
+    con = ct.tetramer(true_d)
+    common = dict(diameter=7, separation=4.0, constraints=con,
+                  param_val={"size": 1.5})
+    out_x = ct.refine_leastsq(f, img, lm_backend="xla", **common)
+    out_p = ct.refine_leastsq(f, img, lm_backend="pallas", **common)
+
+    cols = ["z", "y", "x", "signal"]
+    np.testing.assert_allclose(
+        out_p[cols].to_numpy(), out_x[cols].to_numpy(),
+        rtol=0, atol=2e-3,
+    )
+    pos = out_p[["z", "y", "x"]].to_numpy().reshape(-1, 4, 3)
+    for cl in pos:
+        d = np.linalg.norm(cl[None] - cl[:, None], axis=-1)
+        edges = d[~np.eye(4, dtype=bool)]
+        np.testing.assert_allclose(edges, true_d, atol=1e-3)
