@@ -25,7 +25,7 @@ from .constraints import (  # noqa: E402
     tetramer,
     trimer,
 )
-from .link import link, link_df  # noqa: E402
+from .link import link, link_df, filter_stubs  # noqa: E402
 from . import artificial, diagnostics, motion  # noqa: E402
 from .pipeline import locate, track  # noqa: E402
 
@@ -39,6 +39,7 @@ __all__ = [
     "tetramer",
     "dimer_global",
     "link",
+    "filter_stubs",
     "link_df",
     "locate",
     "track",

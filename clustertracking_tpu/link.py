@@ -28,7 +28,7 @@ import pandas as pd
 
 from .utils import guess_pos_columns
 
-__all__ = ["link", "link_df", "Linker"]
+__all__ = ["link", "link_df", "filter_stubs", "Linker"]
 
 
 def link(
@@ -236,6 +236,25 @@ def _link_device(f, search_range, memory, pos_columns, t_column):
     ).reshape(-1)
     f["particle"] = particles[slots]
     return f
+
+
+def filter_stubs(
+    f: pd.DataFrame,
+    threshold: int = 10,
+    t_column: str = "frame",
+) -> pd.DataFrame:
+    """Drop trajectories seen in fewer than ``threshold`` frames.
+
+    The trackpy post-link utility (the linking delegation pulled
+    in-scope includes its standard companions): spurious detections and
+    fragments produce short tracks that poison diffusion statistics.
+    Requires a ``particle`` column (run ``link`` first)."""
+    if "particle" not in f.columns:
+        raise ValueError("filter_stubs needs a 'particle' column — "
+                         "link the features first")
+    counts = f.groupby("particle")[t_column].nunique()
+    keep = counts[counts >= threshold].index
+    return f[f["particle"].isin(keep)]
 
 
 # Reference-compatible alias (trackpy.link_df name)

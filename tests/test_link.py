@@ -160,3 +160,25 @@ def test_subnet_optimal_matches_bruteforce(rng):
             if ok:
                 best = min(best, cost)
         assert got == pytest.approx(best, abs=1e-9), trial
+
+
+def test_filter_stubs():
+    """trackpy's post-link stub filter: drop tracks shorter than the
+    threshold (in distinct frames)."""
+    import pandas as pd
+    import clustertracking_tpu as ct
+
+    rows = []
+    for t in range(12):
+        rows.append({"frame": t, "y": 10.0 + 0.1 * t, "x": 10.0})
+    for t in (3, 4):  # 2-frame stub
+        rows.append({"frame": t, "y": 40.0, "x": 40.0})
+    f = ct.link(pd.DataFrame(rows), search_range=2.0)
+    out = ct.filter_stubs(f, threshold=5)
+    assert out["particle"].nunique() == 1
+    assert len(out) == 12
+    # threshold below the stub length keeps both
+    assert ct.filter_stubs(f, threshold=2)["particle"].nunique() == 2
+    import pytest
+    with pytest.raises(ValueError):
+        ct.filter_stubs(pd.DataFrame(rows))
