@@ -188,14 +188,33 @@ def track(
             new = pd.concat(kept, ignore_index=True) if kept else new
         if not len(new):
             break
-        diagnostics.record_ledger(recovered_candidates=len(new))
         cols = pos_columns + ["signal", t_column]
         combined = pd.concat(
             [acc[cols], new[cols]], ignore_index=True
         )
+        combined["_recovered"] = np.concatenate(
+            [np.zeros(len(acc), bool), np.ones(len(new), bool)]
+        )
         combined = find_clusters(
             combined, sep, t_column=t_column, backend=find_backend
         )
+        # a recovered candidate that pushes its cluster past the bucket
+        # cap would send the whole (degenerate, blended) group to the
+        # slow serial scipy spill — keep the original features there
+        over = combined["cluster_size"] > max_cluster
+        drop = over & combined["_recovered"]
+        if drop.any():
+            combined = combined.drop(
+                columns=["cluster", "cluster_size"]
+            )[~drop]
+            combined = find_clusters(
+                combined, sep, t_column=t_column, backend=find_backend
+            )
+        combined = combined.drop(columns=["_recovered"])
+        n_recovered = int(len(new) - drop.sum())
+        if n_recovered == 0:
+            break
+        diagnostics.record_ledger(recovered_candidates=n_recovered)
         n_spill += int(
             (combined["cluster_size"] > max_cluster).sum()
         )
