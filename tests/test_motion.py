@@ -184,3 +184,53 @@ def test_body_frame_pure_axial_translation_3d():
     np.testing.assert_allclose(steps["d_par"], 0.7, atol=1e-9)
     np.testing.assert_allclose(steps["d_perp"], 0.0, atol=1e-9)
     np.testing.assert_allclose(steps["d_angle"], 0.0, atol=1e-6)
+
+
+def test_cluster_trajectories_tolerates_member_relink():
+    """A single mislinked member (new particle id mid-video) must NOT
+    split the cluster trajectory (VERDICT r2 item 9): identity is
+    majority member overlap, not the exact member tuple."""
+    import numpy as np
+    import pandas as pd
+    from clustertracking_tpu import motion
+
+    rows = []
+    T = 8
+    for t in range(T):
+        # dimer drifting slowly; member B's particle id changes at t=4
+        # (e.g. a locate gap forced the linker to start a new track)
+        pid_b = 1 if t < 4 else 7
+        for pid, off in [(0, -2.0), (pid_b, 2.0)]:
+            rows.append({
+                "frame": t, "y": 20.0 + 0.1 * t, "x": 30.0 + off,
+                "particle": pid, "cluster": 0, "cluster_size": 2,
+            })
+    f = pd.DataFrame(rows)
+    traj = motion.cluster_trajectories(f, ["y", "x"])
+    assert traj["cluster_traj"].nunique() == 1
+    assert len(traj) == T
+    # and the downstream MSD baseline spans the whole video
+    m = motion.msd(traj, ["y", "x"], max_lagtime=T - 1)
+    assert int(m["lagt"].max()) == T - 1
+
+
+def test_cluster_trajectories_distinct_clusters_stay_distinct():
+    """Overlap matching must not merge genuinely different clusters."""
+    import pandas as pd
+    from clustertracking_tpu import motion
+
+    rows = []
+    for t in range(4):
+        for cid, (pids, x0) in enumerate(
+            [((0, 1), 20.0), ((2, 3), 60.0)]
+        ):
+            for k, pid in enumerate(pids):
+                rows.append({
+                    "frame": t, "y": 30.0, "x": x0 + 4.0 * k,
+                    "particle": pid, "cluster": cid, "cluster_size": 2,
+                })
+    f = pd.DataFrame(rows)
+    traj = motion.cluster_trajectories(f, ["y", "x"])
+    assert traj["cluster_traj"].nunique() == 2
+    for _, g in traj.groupby("cluster_traj"):
+        assert len(g) == 4
