@@ -38,6 +38,7 @@ def link(
     pos_columns: Optional[list] = None,
     t_column: str = "frame",
     backend: str = "host",
+    mesh=None,
 ) -> pd.DataFrame:
     """Assign a ``particle`` column linking features across frames.
 
@@ -49,14 +50,33 @@ def link(
     linker's dense [K, K·(memory+2)] cost matrix loses to the host's
     cKDTree neighbor queries (measured at K≈8000, memory=6: 5.6 s
     device vs 0.6 s host for 4 frames).
+
+    ``mesh``: a ``jax.sharding.Mesh`` — the video splits into contiguous
+    frame ranges, one per device; each device scans its range and
+    trajectories stitch across the cuts (parallel/linking.py).  The only
+    cross-device dependency in the whole pipeline (SURVEY.md §5).
     """
     if pos_columns is None:
         pos_columns = guess_pos_columns(f)
+    if mesh is not None:
+        if backend not in ("host", "auto", "device"):
+            raise ValueError(f"Unknown backend {backend!r}")
+        return _link_sharded_df(
+            f, search_range, memory, pos_columns, t_column, mesh
+        )
     if backend == "auto":
         kmax = int(f.groupby(t_column).size().max()) if len(f) else 0
-        backend = "device" if kmax <= 2048 else "host"
+        # dense frames route to the BINNED device linker (VERDICT r2
+        # item 5): the dense [K, K·(memory+2)] auction matrix loses to
+        # the host Hungarian past ~2k features/frame; the binned
+        # variant's [K, 3^D·cell_cap] candidate graph does not
+        backend = "device" if kmax <= 2048 else "device-binned"
     if backend == "device":
         return _link_device(f, search_range, memory, pos_columns, t_column)
+    if backend == "device-binned":
+        return _link_device(
+            f, search_range, memory, pos_columns, t_column, binned=True
+        )
     if backend != "host":
         raise ValueError(f"Unknown backend {backend!r}")
     f = f.sort_values(t_column, kind="stable").copy()
@@ -196,18 +216,11 @@ class Linker:
         return lk
 
 
-def _link_device(f, search_range, memory, pos_columns, t_column):
-    """Pad per-frame features to a static K and run ops/link.py's scan."""
-    import jax.numpy as jnp
+def _pad_frames(f, pos_columns, t_column):
+    """Pad per-frame features to static [T, K, D] arrays + row slots.
 
-    from .ops.link import link_on_device
-
-    f = f.copy()
-    if len(f) == 0:
-        f["particle"] = np.array([], dtype=np.int64)
-        return f
-    # the scan covers EVERY frame in [min, max] — empty frames must
-    # occupy time slots or gaps would not count against `memory`
+    The scan covers EVERY frame in [min, max] — empty frames must occupy
+    time slots or gaps would not count against ``memory``."""
     tmin = int(f[t_column].min())
     tmax = int(f[t_column].max())
     tmap = {t: t - tmin for t in range(tmin, tmax + 1)}
@@ -228,13 +241,62 @@ def _link_device(f, search_range, memory, pos_columns, t_column):
         valid[ti, k] = True
         slots[row] = ti * K + k
         fill[ti] = k + 1
-    particles = np.asarray(
-        link_on_device(
-            jnp.asarray(positions), jnp.asarray(valid),
-            float(search_range), int(memory),
+    return positions, valid, slots
+
+
+def _link_device(f, search_range, memory, pos_columns, t_column,
+                 binned=False):
+    """Pad per-frame features to a static K and run ops/link.py's scan."""
+    import jax.numpy as jnp
+
+    from .ops.link import link_on_device, link_on_device_binned
+
+    f = f.copy()
+    if len(f) == 0:
+        f["particle"] = np.array([], dtype=np.int64)
+        return f
+    positions, valid, slots = _pad_frames(f, pos_columns, t_column)
+    if binned:
+        # static cell-grid bounds from the data, quantized to multiples
+        # of 64 px so repeated calls on same-sized videos share one jit
+        pos_real = f[pos_columns].to_numpy(dtype=float)
+        bounds = tuple(
+            (
+                float(np.floor(pos_real[:, d].min() / 64.0) * 64.0),
+                float(np.ceil((pos_real[:, d].max() + 1) / 64.0) * 64.0),
+            )
+            for d in range(len(pos_columns))
         )
-    ).reshape(-1)
+        particles = np.asarray(
+            link_on_device_binned(
+                jnp.asarray(positions), jnp.asarray(valid),
+                float(search_range), int(memory), bounds=bounds,
+            )
+        ).reshape(-1)
+    else:
+        particles = np.asarray(
+            link_on_device(
+                jnp.asarray(positions), jnp.asarray(valid),
+                float(search_range), int(memory),
+            )
+        ).reshape(-1)
     f["particle"] = particles[slots]
+    return f
+
+
+def _link_sharded_df(f, search_range, memory, pos_columns, t_column, mesh):
+    """Frame-sharded linking over a device mesh (parallel/linking.py)."""
+    from .parallel.linking import link_sharded
+
+    f = f.copy()
+    if len(f) == 0:
+        f["particle"] = np.array([], dtype=np.int64)
+        return f
+    positions, valid, slots = _pad_frames(f, pos_columns, t_column)
+    parts = link_sharded(
+        positions, valid, float(search_range), int(memory), mesh=mesh
+    ).reshape(-1)
+    f["particle"] = parts[slots]
     return f
 
 

@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["link_on_device"]
+__all__ = ["link_on_device", "link_on_device_binned"]
 
 _BIG = jnp.float32(1e30)
 
@@ -160,6 +160,229 @@ def link_on_device(
     init = (
         jnp.full((M, D), 1e9, jnp.float32),          # far away
         jnp.full((M,), memory + 2, jnp.int32),       # dead
+        jnp.zeros((M,), jnp.int32),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    _, particles = jax.lax.scan(
+        step, init, (positions.astype(jnp.float32), valid)
+    )
+    return particles
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "search_range", "memory", "bounds", "cell_cap", "auction_rounds",
+    ),
+)
+def link_on_device_binned(
+    positions,
+    valid,
+    search_range: float,
+    memory: int = 0,
+    bounds: tuple = None,
+    cell_cap: int = 16,
+    auction_rounds: int = 64,
+):
+    """Spatially binned auction linker for DENSE frames (VERDICT r2
+    item 5).
+
+    ``link_on_device`` builds a dense [K, M] cost matrix (M =
+    K·(memory+2) track slots) — 2 GB at K≈8k — and loses to the host
+    Hungarian past ~2k features/frame.  This variant bins tracks into
+    cells of side ``search_range`` over the static ``bounds`` box (last
+    two/three position axes); each feature bids only on tracks in its
+    3^D neighboring cells (≤ ``cell_cap`` per cell), so the per-frame
+    cost is [K, 3^D·cell_cap] with price/owner updates as scatter-max —
+    the same ε-optimal auction objective on the pruned candidate graph.
+    Any track within ``search_range`` of a feature is inside the
+    neighborhood by construction, so pruning never removes a feasible
+    pair (only cells holding > cell_cap simultaneous tracks could —
+    physically impossible for hard spheres at cell side ≈ diameter).
+
+    ``bounds``: static (min, max) per axis tuple
+    ``((lo_0, hi_0), ..., (lo_{D-1}, hi_{D-1}))`` — the caller computes
+    it from the data on the host (link.py does).
+    """
+    T, K, D = positions.shape
+    M = K * (memory + 2)
+    r2max = jnp.float32(search_range) ** 2
+    eps = r2max * jnp.float32(1e-5) + jnp.float32(1e-12)
+    cell = float(search_range)
+    lo = jnp.asarray([b[0] for b in bounds], jnp.float32)
+    ncell = tuple(
+        max(1, int((b[1] - b[0]) // cell) + 1) for b in bounds
+    )
+    C = 1
+    for nc in ncell:
+        C *= nc
+    NB = 3 ** D
+    Q = NB * cell_cap
+
+    # static neighbor-cell offsets [NB, D]
+    import numpy as _np
+
+    offs = _np.stack(
+        [g.ravel() for g in _np.meshgrid(
+            *[_np.array([-1, 0, 1])] * D, indexing="ij"
+        )],
+        axis=-1,
+    ).astype(_np.int32)
+
+    def cell_of(pos, live):
+        """Flat cell id per row; C (sentinel) for dead/far rows."""
+        ix = jnp.floor((pos - lo) / cell).astype(jnp.int32)
+        inb = jnp.all(
+            (ix >= 0) & (ix < jnp.asarray(ncell)), axis=-1
+        ) & live
+        ixc = jnp.clip(ix, 0, jnp.asarray(ncell) - 1)
+        flat = ixc[..., 0]
+        for d in range(1, D):
+            flat = flat * ncell[d] + ixc[..., d]
+        return jnp.where(inb, flat, C)
+
+    def step(state, inputs):
+        tpos, tage, tid, ptr, next_id = state
+        pos, ok = inputs
+
+        alive = tage <= memory
+        # --- bin tracks: per-cell lists of track indices (cap P) ------
+        tcell = cell_of(tpos, alive)                      # [M]
+        order = jnp.argsort(tcell)                        # stable
+        sorted_cells = jnp.take(tcell, order)
+        start = jnp.searchsorted(
+            sorted_cells, jnp.arange(C), side="left"
+        )                                                 # [C]
+        # list[c, j] = order[start[c]+j] when that row is still cell c
+        j_idx = jnp.arange(cell_cap)[None, :]             # [1, P]
+        flat_idx = jnp.clip(start[:, None] + j_idx, 0, M - 1)
+        cand_cell = jnp.take(sorted_cells, flat_idx)      # [C, P]
+        lists = jnp.where(
+            cand_cell == jnp.arange(C)[:, None],
+            jnp.take(order, flat_idx),
+            M,
+        )                                                 # [C, P]
+        lists_pad = jnp.concatenate(
+            [lists, jnp.full((1, cell_cap), M, lists.dtype)], axis=0
+        )                                                 # [C+1, P]
+
+        # --- candidate tracks per feature: 3^D neighbor cells ---------
+        fix = jnp.floor((pos - lo) / cell).astype(jnp.int32)  # [K, D]
+        cand_parts = []
+        for o in offs:
+            nx = fix + jnp.asarray(o)
+            inb = jnp.all(
+                (nx >= 0) & (nx < jnp.asarray(ncell)), axis=-1
+            )
+            nxc = jnp.clip(nx, 0, jnp.asarray(ncell) - 1)
+            flat = nxc[:, 0]
+            for d in range(1, D):
+                flat = flat * ncell[d] + nxc[:, d]
+            flat = jnp.where(inb & ok, flat, C)
+            cand_parts.append(jnp.take(lists_pad, flat, axis=0))
+        cand = jnp.concatenate(cand_parts, axis=1)        # [K, Q]
+
+        safe_cand = jnp.minimum(cand, M - 1)
+        cpos = jnp.take(tpos, safe_cand, axis=0)          # [K, Q, D]
+        d2 = jnp.sum((pos[:, None, :] - cpos) ** 2, axis=-1)
+        feasible = (
+            (cand < M) & ok[:, None]
+            & jnp.take(alive, safe_cand) & (d2 <= r2max)
+        )
+        d2 = jnp.where(feasible, d2, _BIG)                # [K, Q]
+
+        # ---- auction on the candidate graph --------------------------
+        has_cand = jnp.any(d2 < _BIG, axis=1)
+        ft0 = jnp.where(ok & has_cand, -1, -2)
+
+        def cond(carry):
+            it, p, owner, feat_track = carry
+            return (it < auction_rounds) & jnp.any(feat_track == -1)
+
+        def bid_round(carry):
+            it, p, owner, feat_track = carry
+            active = feat_track == -1
+            v = jnp.where(
+                active[:, None], d2 + jnp.take(p, safe_cand), _BIG
+            )                                             # [K, Q]
+            b1 = jnp.argmin(v, axis=1)
+            v1 = jnp.take_along_axis(v, b1[:, None], 1)[:, 0]
+            v_wo = v.at[jnp.arange(K), b1].set(_BIG)
+            v2 = jnp.min(v_wo, axis=1)
+            v2n = jnp.minimum(v2, r2max)
+            go_null = active & (r2max < v1)
+            feat_track = jnp.where(go_null, -2, feat_track)
+            bidding = active & ~go_null & (v1 < _BIG)
+            bid_amt = jnp.where(bidding, v2n - v1 + eps, -_BIG)
+            tgt = jnp.where(
+                bidding,
+                jnp.take_along_axis(cand, b1[:, None], 1)[:, 0],
+                M,
+            )                                             # [K]
+            # per-track max bid via scatter-max; winner = lowest feature
+            # index achieving it (scatter-min over matching bidders)
+            maxbid = jnp.full((M,), -_BIG).at[tgt].max(
+                bid_amt, mode="drop"
+            )
+            hit = bidding & (bid_amt >= jnp.take(maxbid, jnp.minimum(
+                tgt, M - 1
+            )))
+            winner = jnp.full((M,), K, jnp.int32).at[tgt].min(
+                jnp.where(hit, jnp.arange(K), K), mode="drop"
+            )
+            won = (maxbid > -_BIG / 2) & (winner < K)
+            prev = jnp.where(won & (owner >= 0), owner, K)
+            feat_track = feat_track.at[prev].set(-1, mode="drop")
+            owner = jnp.where(won, winner, owner)
+            p = jnp.where(won, p + maxbid, p)
+            win_i = jnp.where(won, jnp.arange(M), -1)
+            feat_track = feat_track.at[
+                jnp.where(won, winner, K)
+            ].set(win_i, mode="drop")
+            return it + 1, p, owner, feat_track
+
+        _, _, _, feat_track = jax.lax.while_loop(
+            cond,
+            bid_round,
+            (
+                jnp.int32(0),
+                jnp.zeros((M,), jnp.float32),
+                jnp.full((M,), -1, jnp.int32),
+                ft0,
+            ),
+        )
+        matched = feat_track >= 0
+        safe_track = jnp.where(matched, feat_track, 0)
+
+        upd_idx = jnp.where(matched, feat_track, M)
+        tpos = tpos.at[upd_idx].set(pos, mode="drop")
+        tage = tage.at[upd_idx].set(-1, mode="drop")
+
+        new = ok & ~matched
+        rank = jnp.cumsum(new.astype(jnp.int32)) - 1
+        slot = (ptr + rank) % M
+        slot = jnp.where(new, slot, M)
+        ids_new = next_id + rank
+        tpos = tpos.at[slot].set(pos, mode="drop")
+        tage = tage.at[slot].set(-1, mode="drop")
+        tid = tid.at[slot].set(jnp.where(new, ids_new, 0), mode="drop")
+        n_new = jnp.sum(new.astype(jnp.int32))
+
+        particle = jnp.where(
+            matched, tid[safe_track],
+            jnp.where(new, ids_new, -1),
+        ).astype(jnp.int32)
+
+        tage = tage + 1
+        return (
+            (tpos, tage, tid, (ptr + n_new) % M, next_id + n_new),
+            particle,
+        )
+
+    init = (
+        jnp.full((M, D), 1e9, jnp.float32),
+        jnp.full((M,), memory + 2, jnp.int32),
         jnp.zeros((M,), jnp.int32),
         jnp.int32(0),
         jnp.int32(0),

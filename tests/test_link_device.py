@@ -167,3 +167,75 @@ def test_device_auction_matches_host_random_crossings(rng):
         ch = cost(link(f.copy(), sr, backend="host"))
         cd = cost(link(f.copy(), sr, backend="device"))
         assert abs(ch - cd) < 1e-4, (trial, ch, cd)
+
+
+def test_binned_matches_dense_device(rng):
+    """The binned auction (VERDICT r2 item 5) prunes candidates by
+    spatial cell but must produce the same assignments as the dense
+    device auction on ordinary data."""
+    f = _walkers(rng, n=10, T=10)
+    out_d = link(f, search_range=3.0, backend="device")
+    out_b = link(f, search_range=3.0, backend="device-binned")
+    assert _tracks_as_sets(out_d) == _tracks_as_sets(out_b)
+
+
+def test_binned_matches_host_random_crossings(rng):
+    """Contended crossings: the binned auction reaches the same
+    assignment COST as the host Hungarian optimum."""
+    sr = 1.2
+    for trial in range(4):
+        n = 14
+        a = rng.uniform(0, 6, (n, 2))
+        b = a + rng.normal(0, 0.5, (n, 2))
+        f = pd.DataFrame({
+            "y": np.concatenate([a[:, 0], b[:, 0]]),
+            "x": np.concatenate([a[:, 1], b[:, 1]]),
+            "frame": [0] * n + [1] * n,
+        })
+
+        def cost(out):
+            p = out["particle"].to_numpy()
+            c = 0.0
+            for j in range(n):
+                match = np.nonzero(p[:n] == p[n + j])[0]
+                if len(match):
+                    c += float(np.sum((b[j] - a[match[0]]) ** 2))
+                else:
+                    c += sr ** 2
+            return c
+
+        ch = cost(link(f.copy(), sr, backend="host"))
+        cb = cost(link(f.copy(), sr, backend="device-binned"))
+        assert abs(ch - cb) < 1e-4, (trial, ch, cb)
+
+
+def test_binned_memory_bridges_gap():
+    rows = [
+        {"frame": 0, "y": 10.0, "x": 10.0},
+        {"frame": 1, "y": 10.5, "x": 10.0},
+        {"frame": 3, "y": 11.5, "x": 10.0},
+    ]
+    rows += [{"frame": t, "y": 50.0, "x": 50.0} for t in range(4)]
+    f = pd.DataFrame(rows)
+    out0 = link(f, search_range=2.0, memory=0, backend="device-binned")
+    assert out0["particle"].iloc[2] != out0["particle"].iloc[0]
+    out1 = link(f, search_range=2.0, memory=1, backend="device-binned")
+    assert out1["particle"].iloc[2] == out1["particle"].iloc[0]
+    steady = out1.iloc[3:]
+    assert steady["particle"].nunique() == 1
+
+
+def test_binned_cell_boundary_pairs():
+    """A feature must see a track one cell over (the 3x3 neighborhood):
+    pairs straddling cell boundaries at distance just under
+    search_range must link."""
+    sr = 5.0
+    rows = []
+    # steps of +4.9 px per frame cross cell lines repeatedly
+    for t in range(6):
+        rows.append({"frame": t, "y": 7.0, "x": 3.0 + 4.9 * t})
+        rows.append({"frame": t, "y": 40.0, "x": 60.0 - 4.9 * t})
+    f = pd.DataFrame(rows)
+    out = link(f, sr, backend="device-binned")
+    assert out["particle"].nunique() == 2
+    assert (out.groupby("particle").size() == 6).all()
