@@ -88,6 +88,7 @@ def track(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 16,
     recover_passes: int = 0,
+    mesh=None,
     **refine_kwargs,
 ) -> pd.DataFrame:
     """Full pipeline over a video reader: returns refined, linked features.
@@ -131,7 +132,7 @@ def track(
             reader, diameter, separation, search_range, memory, n_frames,
             locate_separation, threshold, percentile, max_features,
             find_backend, t_column, checkpoint_dir, checkpoint_every,
-            refine_kwargs,
+            recover_passes, mesh, refine_kwargs,
         )
     reader = _DeviceFrameCache(reader)
     ndim0 = reader[0].ndim
@@ -152,10 +153,53 @@ def track(
     pos_columns = default_pos_columns(ndim0)
     sep = separation if separation is not None else diameter
     f = find_clusters(f, sep, t_column=t_column, backend=find_backend)
+    f, n_spill = _refine_with_recovery(
+        f, reader, diameter, sep, range(n_frames), locate_separation,
+        threshold, percentile, max_features, find_backend, t_column,
+        recover_passes, pos_columns, mesh, refine_kwargs,
+    )
+    ok = f["cost"].notna()
+    # loss ledger: every feature between locate and the linked output is
+    # accounted for (spilled features are still fit — on the host scipy
+    # path — so they are a *slow* bucket, not a loss)
+    diagnostics.record_ledger(
+        frames=n_frames,
+        candidates_located=len(f),
+        clusters=int(f["cluster"].nunique()),
+        features_spilled_to_scipy=n_spill,
+        fit_accepted=int(ok.sum()),
+        fit_rejected=int((~ok).sum()),
+    )
+    f = f[ok].reset_index(drop=True)
+    if search_range is None:
+        search_range = float(np.mean(validate_tuple(diameter, ndim)))
+    out = _link(
+        f, search_range, memory=memory, t_column=t_column,
+        backend=link_backend if link_backend is not None else "auto",
+        mesh=mesh,
+    )
+    diagnostics.record_ledger(linked=len(out))
+    return out
+
+
+def _refine_with_recovery(
+    f, reader, diameter, sep, frame_numbers, locate_separation,
+    threshold, percentile, max_features, find_backend, t_column,
+    recover_passes, pos_columns, mesh, refine_kwargs,
+):
+    """refine_leastsq + residual-relocate recovery passes (shared by the
+    single-shot and checkpointed track paths).
+
+    Each pass renders the fitted model on device (ops/synth.py),
+    subtracts it from the frames, re-locates candidates in the residual
+    — where the missed partner of a blended pair stands alone — and
+    refits ALL features together.  Returns (refined DataFrame, spill
+    count for the ledger)."""
     max_cluster = int(refine_kwargs.get("max_cluster_size", 8))
     n_spill = int((f["cluster_size"] > max_cluster).sum())
     f = refine_leastsq(
-        f, reader, diameter, sep, t_column=t_column, **refine_kwargs
+        f, reader, diameter, sep, t_column=t_column, mesh=mesh,
+        **refine_kwargs,
     )
     for _ in range(recover_passes):
         from scipy.spatial import cKDTree
@@ -167,7 +211,7 @@ def track(
                 reader, acc, refine_kwargs.get("fit_function", "gauss"),
                 t_column, pos_columns,
             ),
-            range(n_frames), diameter, locate_separation, threshold,
+            frame_numbers, diameter, locate_separation, threshold,
             percentile, max_features, t_column,
         )
         if len(new):
@@ -221,7 +265,7 @@ def track(
         sig_floor = 0.05 * float(acc["signal"].median())
         f = refine_leastsq(
             combined, reader, diameter, sep, t_column=t_column,
-            **refine_kwargs,
+            mesh=mesh, **refine_kwargs,
         )
         # a superfluous candidate (e.g. both residual lobes of a blended
         # pair plus the original) converges to ~zero signal in the joint
@@ -246,27 +290,7 @@ def track(
         if ghost.any():
             diagnostics.record_ledger(ghosts_pruned=int(ghost.sum()))
             f = f[~ghost]
-    ok = f["cost"].notna()
-    # loss ledger: every feature between locate and the linked output is
-    # accounted for (spilled features are still fit — on the host scipy
-    # path — so they are a *slow* bucket, not a loss)
-    diagnostics.record_ledger(
-        frames=n_frames,
-        candidates_located=len(f),
-        clusters=int(f["cluster"].nunique()),
-        features_spilled_to_scipy=n_spill,
-        fit_accepted=int(ok.sum()),
-        fit_rejected=int((~ok).sum()),
-    )
-    f = f[ok].reset_index(drop=True)
-    if search_range is None:
-        search_range = float(np.mean(validate_tuple(diameter, ndim)))
-    out = _link(
-        f, search_range, memory=memory, t_column=t_column,
-        backend=link_backend if link_backend is not None else "auto",
-    )
-    diagnostics.record_ledger(linked=len(out))
-    return out
+    return f, n_spill
 
 
 class _DeviceFrameCache:
@@ -481,7 +505,7 @@ def _track_checkpointed(
     reader, diameter, separation, search_range, memory, n_frames,
     locate_separation, threshold, percentile, max_features,
     find_backend, t_column, checkpoint_dir, checkpoint_every,
-    refine_kwargs,
+    recover_passes, mesh, refine_kwargs,
 ):
     """Chunked track with persisted state (resume-safe).
 
@@ -537,12 +561,22 @@ def _track_checkpointed(
             f = find_clusters(
                 f, sep0, t_column=t_column, backend=find_backend
             )
-            f["cluster"] = f["cluster"] + cluster_offset
-            cluster_offset = int(f["cluster"].max()) + 1
-            f = refine_leastsq(
-                f, reader, diameter, sep0, t_column=t_column,
-                **refine_kwargs,
+            # recovery passes (if any) run within the chunk — the
+            # residual relocate only needs this chunk's frames, so the
+            # composition with resume is exact (VERDICT r2 item 9)
+            f, _ = _refine_with_recovery(
+                f, reader, diameter, sep0, chunk, locate_separation,
+                threshold, percentile, max_features, find_backend,
+                t_column, recover_passes, pos_columns, mesh,
+                refine_kwargs,
             )
+            # recovery re-runs find_clusters (ids restart at 0), so
+            # cross-chunk uniqueness is restored by renumbering here
+            _, inv = np.unique(
+                f["cluster"].to_numpy(), return_inverse=True
+            )
+            f["cluster"] = cluster_offset + inv
+            cluster_offset = int(f["cluster"].max()) + 1
             f = f[f["cost"].notna()].reset_index(drop=True)
             particle = np.full(len(f), -1, dtype=np.int64)
             for t, idx in f.groupby(t_column, sort=True).indices.items():

@@ -429,7 +429,10 @@ def _bucket_solver(
                     pad[-1] = (0, Wp - frame_shape[-1])
                     frames_g = jnp.pad(frames, pad)
 
-        def gather(vect, params_ref, with_mask=True, with_pixels=True):
+        def gather(vect, params_ref, fidx=None, with_mask=True,
+                   with_pixels=True):
+            if fidx is None:
+                fidx = frame_idx
             pos = positions_of(vect, params_ref)
             origin = origins_for(pos, window_shape, frame_shape)
             # fused-gather pallas kernels DMA their own windows from the
@@ -439,12 +442,12 @@ def _bucket_solver(
                 pixels = None
             elif pgather is not None:
                 Npix = int(np.prod(window_shape))
-                pixels = pgather(frames_g, frame_idx, origin)[
+                pixels = pgather(frames_g, fidx, origin)[
                     :Npix, : origin.shape[0]
                 ].T
             else:
                 pixels = _gather_stack(
-                    frames, frame_idx, origin, window_shape
+                    frames, fidx, origin, window_shape
                 )
             mask = (
                 radius_mask(pos, origin, window_shape, radius)
@@ -458,8 +461,28 @@ def _bucket_solver(
 
         def outer_body(state):
             it, vect, need, rms, conv, iters = state
+            # Active-lane sort (VERDICT r2 item 4): rounds past the first
+            # only `need` the lanes still drifting > max_shift.  Packing
+            # those into the leading 128-lane tiles lets the kernel's
+            # whole-tile skip (pallas_lm.py) pass frozen tiles through
+            # without a single accumulate sweep — kernel math is lane-
+            # independent, so the permutation is bit-exact.  XLA paths
+            # gain nothing (full-batch lockstep) and skip the shuffle.
+            if use_pallas:
+                order = jnp.argsort(
+                    jnp.where(need, 0, 1), stable=True
+                )
+                vect_s = jnp.take(vect, order, axis=0)
+                cp_s = jnp.take(params0, order, axis=0)
+                fidx_s = jnp.take(frame_idx, order, axis=0)
+                norm_s = jnp.take(norm, order, axis=0)
+                need_s = jnp.take(need, order, axis=0)
+            else:
+                order = None
+                vect_s, cp_s, fidx_s = vect, params0, frame_idx
+                norm_s, need_s = norm, need
             pixels, mask, origin, pos_at = gather(
-                vect, params0,
+                vect_s, cp_s, fidx_s,
                 with_mask=not use_pallas,
                 with_pixels=not fused,
             )
@@ -472,12 +495,12 @@ def _bucket_solver(
                 )
             elif fused:
                 res = pallas_solve(
-                    vect, params0, frames, frame_idx, pos_at, origin,
-                    norm, need
+                    vect_s, cp_s, frames, fidx_s, pos_at, origin,
+                    norm_s, need_s
                 )
             elif use_pallas:
                 res = pallas_solve(
-                    vect, params0, pixels, pos_at, origin, norm, need
+                    vect_s, cp_s, pixels, pos_at, origin, norm_s, need_s
                 )
             else:
                 args = (params0, pixels, mask, origin, norm)
@@ -486,6 +509,18 @@ def _bucket_solver(
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
                     lower=lo_b, upper=hi_b, valid=need,
                 )
+            if order is not None:  # scatter lanes back to input order
+                unperm = lambda a: (
+                    None if a is None
+                    else jnp.zeros_like(a).at[order].set(a)
+                )
+                res = res._replace(
+                    x=unperm(res.x), cost=unperm(res.cost),
+                    n_iter=unperm(res.n_iter),
+                    converged=unperm(res.converged),
+                    npix=unperm(res.npix),
+                )
+                pos_at = unperm(pos_at)
             pos_new = positions_of(res.x, params0)
             shift = jnp.max(
                 jnp.abs(pos_new - pos_at), axis=(1, 2)
@@ -562,6 +597,120 @@ def _bucket_solver(
         return params, rms, conv, iters, std_params
 
     return solve, layout
+
+
+@lru_cache(maxsize=256)
+def _mesh_bucket_solver(
+    mesh,
+    model: ModelSpec,
+    ndim: int,
+    isotropic: bool,
+    n: int,
+    param_mode_key: tuple,
+    window_shape: tuple,
+    radius: tuple,
+    bounds_key: tuple,
+    constraint: Optional[Constraint],
+    residual_factor: float,
+    max_iter: int,
+    max_shift: float,
+    lm_max_iter: int,
+    ftol: float,
+    xtol: float,
+    compute_error: bool,
+    lm_backend: str,
+):
+    """Mesh-sharded bucket solver: the multi-chip user-API path.
+
+    Lanes (the cluster batch) shard over the mesh's first axis; frames
+    replicate (SURVEY.md §5 frame-parallel row — the fit stage is pure
+    data parallelism).  Two routes:
+
+    - pallas-eligible buckets (unconstrained, no global slots, TPU) run
+      the fused kernel per device under shard_map — lanes are
+      independent, so the map needs no collectives;
+    - everything else goes through GSPMD: inputs are device_put with
+      NamedShardings and XLA partitions the jitted solve, turning
+      lm_solve_global's shared-slot tie (mean over lanes) into a
+      cross-device all-reduce — how 'global'-mode params and
+      dimer_global train data-parallel across chips.
+
+    Returns (call, layout, backend_tag); ``call`` has the same signature
+    and outputs as the single-device solver.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    lane = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    layout = build_layout(model, ndim, isotropic, n, dict(param_mode_key))
+    use_global = bool(
+        np.any(layout.global_slots)
+        or (constraint is not None and constraint.kind == "rigid"
+            and constraint.fit_dist and constraint.dist_mode == "global")
+    )
+    shardmap_ok = (
+        lm_backend in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and constraint is None
+        and not use_global
+        and pallas_available(model, layout, use_global, constraint,
+                             window_shape)
+    )
+    if shardmap_ok:
+        solver, layout = _bucket_solver(
+            model, ndim, isotropic, n, param_mode_key, window_shape,
+            radius, bounds_key, constraint, residual_factor, max_iter,
+            max_shift, lm_max_iter, ftol, xtol, compute_error,
+            "auto", "auto",
+        )
+        # pallas_call outputs carry no varying-mesh-axes metadata, so the
+        # replication/vma check must be off (kwarg name differs by version)
+        try:
+            from jax import shard_map
+            _kw = {"check_vma": False}
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+            _kw = {"check_rep": False}
+        lane_p = P(axis)
+        std_spec = lane_p if compute_error else P()
+        inner = shard_map(
+            solver,
+            mesh=mesh,
+            in_specs=(P(), lane_p, lane_p, lane_p, lane_p),
+            out_specs=(lane_p, lane_p, lane_p, lane_p, std_spec),
+            **_kw,
+        )
+        backend_tag = "pallas-sharded"
+    else:
+        # GSPMD cannot auto-partition a pallas_call, so this route pins
+        # the XLA solver + XLA gather; collectives are inserted by the
+        # partitioner.
+        inner, layout = _bucket_solver(
+            model, ndim, isotropic, n, param_mode_key, window_shape,
+            radius, bounds_key, constraint, residual_factor, max_iter,
+            max_shift, lm_max_iter, ftol, xtol, compute_error,
+            "xla", "xla",
+        )
+        if constraint is not None:
+            kind = "rigid" if constraint.kind == "rigid" else "penalty"
+            backend_tag = f"xla-{kind}-sharded"
+        elif use_global:
+            backend_tag = "xla-global-sharded"
+        else:
+            backend_tag = "xla-sharded"
+
+    def call(stack, fidx, params0, pose0, valid):
+        args = (
+            jax.device_put(jnp.asarray(stack, jnp.float32), rep),
+            jax.device_put(jnp.asarray(fidx), lane),
+            jax.device_put(jnp.asarray(params0), lane),
+            jax.device_put(jnp.asarray(pose0), lane),
+            jax.device_put(jnp.asarray(valid), lane),
+        )
+        return inner(*args)
+
+    return call, layout, backend_tag
 
 
 @lru_cache(maxsize=4)
@@ -648,6 +797,7 @@ def refine_leastsq(
     xtol: float = 1.49e-8,
     backend_find: str = "host",
     lm_backend: str = "auto",
+    mesh=None,
 ) -> pd.DataFrame:
     """Simultaneously refine overlapping features cluster-by-cluster.
 
@@ -655,6 +805,13 @@ def refine_leastsq(
     requires position columns (+ optionally 'signal', 'size'/'size_*',
     'frame'); adds/updates refined parameter columns, 'cluster',
     'cluster_size' and 'cost' (NaN = rejected fit).
+
+    ``mesh`` (new capability — the reference is single-threaded,
+    SURVEY.md §2): a ``jax.sharding.Mesh`` over whose first axis every
+    bucket's lane (cluster) axis is data-parallel sharded; frames
+    replicate and 'global'-tied slots all-reduce across devices
+    (_mesh_bucket_solver).  Results match the single-device path
+    lane-for-lane.
     """
     if pos_columns is None:
         pos_columns = guess_pos_columns(f)
@@ -770,6 +927,12 @@ def refine_leastsq(
     frame_shape = None
     in_flight: list = []
     drain_queue: list = []
+    if mesh is not None:
+        # lane axis must split evenly over the mesh's first axis
+        msize = int(mesh.shape[mesh.axis_names[0]])
+        lane_quant = _LANE_PAD * msize // math.gcd(_LANE_PAD, msize)
+    else:
+        lane_quant = _LANE_PAD
 
     def _drain_bucket(p):
         """Fetch one queued bucket's device results and write them back."""
@@ -802,7 +965,9 @@ def refine_leastsq(
             and lm_backend != "xla"
             and pallas_available(model, layout, ug, con, p["wshape"])
         )
-        if con is not None:
+        if p.get("backend_tag"):  # mesh-sharded dispatch knows its route
+            backend_str = p["backend_tag"]
+        elif con is not None:
             kind = "rigid" if con.kind == "rigid" else "penalty"
             backend_str = ("pallas-" if on_pallas else "xla-") + kind
         elif ug:
@@ -880,7 +1045,8 @@ def refine_leastsq(
                     model, ndim, isotropic, radius, separation,
                     param_names, pos_columns, size_cols, initial_params,
                     t_column, max_iter, max_shift, max_rms_dev,
-                    param_mode_key,
+                    param_mode_key, conv_buf, iter_buf,
+                    std_cols if compute_error else None,
                 )
                 continue
 
@@ -905,7 +1071,9 @@ def refine_leastsq(
                     "id appears with the wrong multiplicity or spans "
                     "frames — re-run find_clusters"
                 )
-            Bpad = max(_LANE_PAD, int(np.ceil(B / _LANE_PAD)) * _LANE_PAD)
+            Bpad = max(
+                lane_quant, int(np.ceil(B / lane_quant)) * lane_quant
+            )
             flat = initial_params(grp, images)          # [B*n, P]
             params0 = np.zeros((Bpad, n, P), dtype=np.float32)
             params0[:B] = flat.reshape(B, n, P)
@@ -942,12 +1110,21 @@ def refine_leastsq(
                 wshape = tuple(
                     min(d, s) for d, s in zip(dyn, frame_shape)
                 )
-            solver, layout = _bucket_solver(
-                model, ndim, isotropic, n, param_mode_key, wshape,
-                radius, bounds_key, con, residual_factor,
-                max_iter, max_shift, lm_max_iter, ftol, xtol,
-                compute_error, lm_backend,
-            )
+            backend_tag = None
+            if mesh is not None:
+                solver, layout, backend_tag = _mesh_bucket_solver(
+                    mesh, model, ndim, isotropic, n, param_mode_key,
+                    wshape, radius, bounds_key, con, residual_factor,
+                    max_iter, max_shift, lm_max_iter, ftol, xtol,
+                    compute_error, lm_backend,
+                )
+            else:
+                solver, layout = _bucket_solver(
+                    model, ndim, isotropic, n, param_mode_key, wshape,
+                    radius, bounds_key, con, residual_factor,
+                    max_iter, max_shift, lm_max_iter, ftol, xtol,
+                    compute_error, lm_backend,
+                )
             if con is not None and con.kind == "rigid":
                 pose0 = positions_to_pose(
                     params0[:, :, 2 : 2 + ndim], con
@@ -972,6 +1149,7 @@ def refine_leastsq(
             in_flight.append(dict(
                 handles=handles, n=n, B=B, Bpad=Bpad, valid=valid,
                 pos_mat=pos_mat, layout=layout, con=con, wshape=wshape,
+                backend_tag=backend_tag,
                 dispatch_s=time.perf_counter() - t_dispatch,
             ))
 
@@ -1000,14 +1178,26 @@ def _spill_scipy(
     param_bufs, cost_buf, row_pos, row_groups, images, model, ndim,
     isotropic, radius, separation, param_names, pos_columns, size_cols,
     initial_params, t_column, max_iter, max_shift, max_rms_dev,
-    param_mode_key,
+    param_mode_key, conv_buf=None, iter_buf=None, std_cols=None,
 ):
-    """Host scipy path for clusters larger than the biggest bucket."""
+    """Host scipy path for clusters larger than the biggest bucket.
+
+    Output parity with the batched path (VERDICT r2 item 7): sets
+    ``fit_converged``/``fit_n_iter`` from scipy's ier/nfev and fills the
+    ``_std`` columns from the leastsq covariance when requested."""
     from . import diagnostics
     from .hostref import fit_cluster_scipy
 
     t_dispatch = time.perf_counter()
     n_rej = 0
+    # hostref resolves builtin and inv_series names to numpy profiles
+    # with analytic Jacobians; custom models pass their (jax) fun —
+    # exact but finite-differenced
+    if model.name in ("gauss", "ring", "hat", "disc") or \
+            model.name.startswith("inv_series_"):
+        profile = model.name
+    else:
+        profile = model.fun
     for rows in row_groups:
         n = len(rows)
         t = int(rows[t_column].iloc[0])
@@ -1018,17 +1208,24 @@ def _spill_scipy(
         )
         wshape = _window_shape(n, ndim, radius, separation, image.shape)
         norm = max(np.abs(p0[:, 1]).max(), 1e-6)
-        params, rms, _ = fit_cluster_scipy(
+        params, rms, _, info = fit_cluster_scipy(
             image, p0, layout.slot_idx, wshape, radius, isotropic,
-            profile=model.name if model.name in (
-                "gauss", "ring", "hat", "disc") else "gauss",
+            profile=profile,
             norm=norm, max_iter_refit=max_iter, max_shift=max_shift,
+            full_output=True,
         )
+        pos = row_pos[rows.index].to_numpy()
+        if conv_buf is not None:
+            conv_buf[pos] = info["converged"]
+        if iter_buf is not None:
+            iter_buf[pos] = info["nfev"]
         if rms <= max_rms_dev and np.isfinite(rms):
-            pos = row_pos[rows.index].to_numpy()
             for j, name in enumerate(param_names):
                 param_bufs[name][pos] = params[:, j]
             cost_buf[pos] = float(rms)
+            if std_cols is not None:
+                for j, name in enumerate(param_names):
+                    std_cols[name][pos] = info["std"][:, j]
         else:
             n_rej += 1
     if row_groups:

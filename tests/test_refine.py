@@ -269,11 +269,19 @@ def test_spill_to_scipy_for_oversized_clusters():
         out = ct.refine_leastsq(
             f, img, diameter=9, separation=5.5, param_val={"size": 2.0},
             max_cluster_size=4,  # force the 5-cluster to spill
+            compute_error=True,
         )
     assert any(b.backend == "scipy" for b in stats.batches)
     assert out["cost"].notna().all()
     pos = out[["y", "x"]].to_numpy()
     assert np.abs(pos - true).max() < 0.05
+    # spill-path output parity (VERDICT r2 item 7): an accepted spilled
+    # fit reports the same flag/error semantics as the batched path
+    assert out["fit_converged"].all()
+    assert (out["fit_n_iter"] > 0).all()
+    for c in ["y_std", "x_std", "signal_std"]:
+        assert out[c].notna().all() and (out[c] > 0).all()
+        assert (out[c] < 0.5).all()  # noiseless fit: tiny stderr
 
 
 def test_locate_3d():
