@@ -118,23 +118,57 @@ def link_sharded(
         _, tails = _heads_tails(parts[s - 1], pos_s[s - 1],
                                 val_s[s - 1], window)
         heads, _ = _heads_tails(parts[s], pos_s[s], val_s[s], window)
-        cand = []
+        # Subnet-optimal stitching (VERDICT r2 item 8): candidate
+        # (head, tail) pairs form a bipartite graph; each connected
+        # component resolves with the SAME Hungarian objective as the
+        # in-shard linker (min sum d², an unmatched head costs
+        # search_range²) — greedy sorted-by-distance matching could
+        # resolve a contended crossing at the cut differently than the
+        # single-scan result.
+        cand: dict = {}  # hid -> list of (tid, d2)
         for hid, (tf_h, p_h) in heads.items():
             for tid, (tf_t, p_t) in tails.items():
                 gap = (tf_h + Ts) - tf_t  # frames between appearances
                 if gap > window:
                     continue
-                d = float(np.linalg.norm(p_h - p_t))
-                if d <= search_range:
-                    cand.append((d, hid, tid))
-        cand.sort()
-        used_h, used_t = set(), set()
-        for d, hid, tid in cand:
-            if hid in used_h or tid in used_t:
-                continue
-            used_h.add(hid)
-            used_t.add(tid)
-            remap[hid] = resolve(tid)
+                d2 = float(np.sum((p_h - p_t) ** 2))
+                if d2 <= search_range**2:
+                    cand.setdefault(hid, []).append((tid, d2))
+        if not cand:
+            continue
+        parent: dict = {}
+
+        def find(a):
+            while parent.setdefault(a, a) != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for hid, tds in cand.items():
+            for tid, _ in tds:
+                parent[find(("h", hid))] = find(("t", tid))
+        subnets: dict = {}
+        for hid, tds in cand.items():
+            root = find(("h", hid))
+            hs, ts = subnets.setdefault(root, ([], set()))
+            hs.append(hid)
+            ts.update(tid for tid, _ in tds)
+
+        from scipy.optimize import linear_sum_assignment
+
+        sr2 = float(search_range) ** 2
+        for hs, ts in subnets.values():
+            ts = sorted(ts)
+            F, Tn = len(hs), len(ts)
+            cost = np.full((F, Tn + F), 4.0 * sr2)
+            for r, hid in enumerate(hs):
+                cost[r, Tn + r] = sr2  # unmatched head = new track
+                for tid, d2 in cand[hid]:
+                    cost[r, ts.index(tid)] = d2
+            rows, cols = linear_sum_assignment(cost)
+            for r, c in zip(rows, cols):
+                if c < Tn and cost[r, c] <= sr2:
+                    remap[hs[r]] = resolve(ts[c])
 
     if remap:
         flat = parts.reshape(-1)

@@ -80,3 +80,32 @@ def test_sharded_uneven_frames():
     np.testing.assert_array_equal(
         _canon(single, valid), _canon(sharded, valid)
     )
+
+
+def test_contended_crossing_at_shard_boundary():
+    """Two trajectories crossing AT the shard cut where greedy sorted-
+    by-distance stitching and the Hungarian optimum differ (VERDICT r2
+    item 8): tails end at x=0.0 and 1.0; heads begin at x=0.55 and 1.8.
+    Greedy pairs (B,C) [d=0.45] stranding A and D; the optimum pairs
+    (A,C)+(B,D) [0.3025+0.64 < 0.2025+2·SR²] and continues both."""
+    T, S = 8, 2
+    Ts = T // S
+    pos = np.full((T, 2, 2), 50.0, np.float32)
+    valid = np.ones((T, 2), bool)
+    # two walkers at fixed y, converging in x toward the cut at t=4
+    xa = [0.0, 0.0, 0.0, 0.0, 0.55, 0.55, 0.55, 0.55]
+    xb = [1.0, 1.0, 1.0, 1.0, 1.80, 1.80, 1.80, 1.80]
+    for t in range(T):
+        pos[t, 0] = (50.0, 20.0 + xa[t])
+        pos[t, 1] = (50.0, 20.0 + xb[t])
+    single = np.asarray(link_on_device(pos, valid, 1.0, 0))
+    sharded = link_sharded(pos, valid, 1.0, 0, n_shards=S)
+    n_single = len(np.unique(single[single >= 0]))
+    n_sharded = len(np.unique(sharded[sharded >= 0]))
+    assert n_single == 2
+    assert n_sharded == 2, (
+        f"boundary stitch stranded a track: {n_sharded} trajectories"
+    )
+    np.testing.assert_array_equal(
+        _canon(single, valid), _canon(sharded, valid)
+    )
