@@ -309,7 +309,7 @@ def _assemble_buckets(
     P = len(names)
     for cs in range(0, len(frame_numbers), frames_per_dispatch):
         chunk = frame_numbers[cs : cs + frames_per_dispatch]
-        images = _frames_of(reader, chunk)
+        images = _frames_of(reader, chunk, ndim)
         frame_shape = images[int(chunk[0])].shape
         stack = jnp.asarray(
             np.stack([images[int(t)] for t in chunk]).astype(np.float32)

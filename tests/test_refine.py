@@ -456,3 +456,28 @@ def test_global_mode_per_lane_rejection():
     assert abs(sizes[0] - size_g) < 0.25
     # real per-lane iteration counts flow through
     assert (out["fit_n_iter"] > 0).all()
+
+
+def test_ndarray_video_stack_reader():
+    """A [T, H, W] ndarray passed as the reader must be indexed per
+    frame — not mistaken for a single 3D z-stack (the rank-vs-ndim
+    ambiguity found via the whole-video dimer_global test: the window
+    became 1 pixel tall along the T axis and fits collapsed)."""
+    rng = np.random.default_rng(2)
+    T = 3
+    frames = np.zeros((T, 64, 64), np.float32)
+    truth = []
+    for t in range(T):
+        c = np.array([20.0 + 8 * t, 30.0])
+        artificial.draw_feature(frames[t], c, 2.0, 150.0)
+        truth.append({"frame": t, "y": c[0], "x": c[1]})
+    truth = pd.DataFrame(truth)
+    f = truth.copy()
+    f[["y", "x"]] += rng.uniform(-0.3, 0.3, (len(f), 2))
+    f["signal"] = 150.0
+    out = ct.refine_leastsq(f, frames, diameter=7,
+                            param_val={"size": 2.0})
+    assert out["cost"].notna().all()
+    err = np.abs(out[["y", "x"]].to_numpy()
+                 - truth[["y", "x"]].to_numpy()).max()
+    assert err < 0.01, err
