@@ -239,6 +239,13 @@ def _refine_with_recovery(
         combined["_recovered"] = np.concatenate(
             [np.zeros(len(acc), bool), np.ones(len(new), bool)]
         )
+        # previous fit cost per ORIGINAL feature: the reference value
+        # for the likelihood-ratio accept below (a recovered candidate
+        # must BUY its place by dropping its cluster's cost)
+        combined["_old_cost"] = np.concatenate(
+            [acc["cost"].to_numpy(dtype=float),
+             np.full(len(new), np.nan)]
+        )
         combined = find_clusters(
             combined, sep, t_column=t_column, backend=find_backend
         )
@@ -254,7 +261,6 @@ def _refine_with_recovery(
             combined = find_clusters(
                 combined, sep, t_column=t_column, backend=find_backend
             )
-        combined = combined.drop(columns=["_recovered"])
         n_recovered = int(len(new) - drop.sum())
         if n_recovered == 0:
             break
@@ -267,10 +273,38 @@ def _refine_with_recovery(
             combined, reader, diameter, sep, t_column=t_column,
             mesh=mesh, **refine_kwargs,
         )
+        recovered_col = f["_recovered"].to_numpy()
+        old_cost_col = f["_old_cost"].to_numpy()
+        f = f.drop(columns=["_recovered", "_old_cost"])
+        # Likelihood-ratio accept (VERDICT r2 item 3): a recovered
+        # candidate joins only if its cluster's JOINT refit cost beats
+        # the previous fit of the original members it joins by a real
+        # margin.  A missing partner of a blended pair leaves a huge
+        # residual, so the joint cost drops by a large factor; a
+        # fit-imperfection lobe buys only a marginal improvement
+        # (adding any free feature always helps a little).  Clusters
+        # made ONLY of recovered candidates (a feature the locator
+        # missed entirely, standing alone in the residual) have no old
+        # reference and are kept on the fit-acceptance criteria alone.
+        ghost = np.zeros(len(f), dtype=bool)
+        cl = f["cluster"].to_numpy()
+        costs = f["cost"].to_numpy()
+        for cid in np.unique(cl[recovered_col]):
+            rows_c = np.nonzero(cl == cid)[0]
+            old = old_cost_col[rows_c]
+            old = old[np.isfinite(old)]
+            if not len(old):
+                continue  # all-new cluster: no reference to beat
+            new_cost = costs[rows_c[0]]
+            if not np.isfinite(new_cost) or \
+                    new_cost > 0.8 * float(np.mean(old)):
+                ghost[rows_c[recovered_col[rows_c]]] = True
         # a superfluous candidate (e.g. both residual lobes of a blended
         # pair plus the original) converges to ~zero signal in the joint
         # refit — prune it rather than emit a ghost feature
-        ghost = f["cost"].notna() & (f["signal"] < sig_floor)
+        ghost = pd.Series(ghost, index=f.index) | (
+            f["cost"].notna() & (f["signal"] < sig_floor)
+        )
         # ...or the refit splits one true feature's signal across two
         # near-coincident candidates: drop the dimmer of any accepted
         # pair closer than dup_r (true features sit >= separation apart)
