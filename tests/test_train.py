@@ -150,3 +150,27 @@ def test_train_joint_beats_mean_pooling():
     pooled = {k: (ns * es[k] + nd * ed[k]) / (ns + nd) for k in es}
     assert abs(pooled["coeff_1"] - A1) > 0.1   # mean pooling is biased
     assert abs(pooled["coeff_2"] - A2) > 0.1
+
+
+def test_train_with_mesh():
+    """train_leastsq's refit rounds run mesh-sharded when a mesh is
+    passed (the kwarg flows to refine_leastsq); learned coefficients
+    must match the single-device result."""
+    import jax
+
+    from clustertracking_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device (virtual) mesh")
+    img, f = _scene(mixed=False, n_spots=8)
+    kw = dict(diameter=13, separation=14.0, fit_function="inv_series_2",
+              max_rounds=2)
+    learned_1 = ct.train_leastsq(f, img, **kw)
+    learned_m = ct.train_leastsq(f, img, mesh=make_mesh(), **kw)
+    for k in learned_1:
+        assert abs(learned_m[k] - learned_1[k]) < 1e-3, (
+            k, learned_m[k], learned_1[k]
+        )
+    assert abs(learned_m["coeff_1"] - A1) < 0.05
