@@ -176,12 +176,21 @@ def config2(n_frames=100, reps=1):
         dt = time.perf_counter() - t0
     n_traj = out["particle"].nunique()
     lengths = out.groupby("particle").size()
+    # recovery variant: blended peaks that flicker out of locate for
+    # > memory frames fragment trajectories; a recovery pass re-finds
+    # them (the round-2 ledger attributed the excess trajectory count
+    # to exactly this)
+    t0 = time.perf_counter()
+    out_r = ct.track(reader, recover_passes=1, **kw)
+    dt_r = time.perf_counter() - t0
     _emit({
         "config": 2, "metric": "pipeline_frames_per_sec_100feat",
         "value": round(n_frames / dt, 2), "unit": "frames/s",
         "features_per_frame": int(len(out) / n_frames),
         "n_trajectories": int(n_traj),
         "n_trajectories_min10frames": int((lengths >= 10).sum()),
+        "n_trajectories_recover1": int(out_r["particle"].nunique()),
+        "frames_per_sec_recover1": round(n_frames / dt_r, 2),
         "fit_clusters_per_sec": round(
             stats.summary().get("clusters_per_sec", 0), 1
         ),

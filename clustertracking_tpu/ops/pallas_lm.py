@@ -291,6 +291,36 @@ def make_pallas_lm(
     else:
         CL = Npix
     Npix_pad = n_chunks * CL
+    # Center-out voxel ordering (3D multi-chunk resident path): voxels
+    # sorted by distance from the window center, so in-mask voxels pack
+    # into the LEADING chunks and the tail chunks go fully dead — the
+    # per-chunk mask-empty skip then drops most of a 3D box's accumulate
+    # work (a 16³ tetramer window is ~85% out-of-mask; the union of
+    # spheres hugs the window center because the gather centers the
+    # cluster; edge-clamped lanes shift off-center, which only makes
+    # fewer chunks skippable — never wrong, the mask stays exact).
+    # Voxel coordinates ride along as ONE packed f32 column
+    # (z·65536 + y·256 + x — exact below 2²⁴; window dims < 256 by the
+    # streaming cap), since iota can no longer derive them.
+    use_ctab = (
+        len(window_shape) == 3 and n_chunks > 1 and not streaming
+    )
+    if use_ctab:
+        grids = np.meshgrid(
+            *[np.arange(w) for w in window_shape], indexing="ij"
+        )
+        ctr = [(w - 1) / 2.0 for w in window_shape]
+        d2c = sum((g - c) ** 2 for g, c in zip(grids, ctr)).ravel()
+        _perm = np.argsort(d2c, kind="stable").astype(np.int32)
+        _packed = (
+            grids[0].ravel()[_perm] * 65536
+            + grids[1].ravel()[_perm] * 256
+            + grids[2].ravel()[_perm]
+        ).astype(np.float32)
+        _ctab_np = np.zeros((Npix_pad, 1), np.float32)
+        _ctab_np[:Npix, 0] = _packed
+    else:
+        _perm = _ctab_np = None
     n_extra = len(model.extra_params)
     extra_p = tuple(layout.param_names.index(nm) for nm in model.extra_params)
     pos_p = layout.pos_param_idx
@@ -309,10 +339,11 @@ def make_pallas_lm(
     radius = tuple(float(r) for r in radius)
 
     def kernel_impl(pix_of_chunk, vect_ref, cp_ref, pos_ref, org_ref,
-                    aux_ref, xout_ref, stats_ref):
+                    aux_ref, xout_ref, stats_ref, ctab_ref=None):
         """Shared LM body; ``pix_of_chunk(c0) -> [CL, TB]`` supplies pixel
         chunks (from a VMEM input ref, or from the DMA-gathered scratch in
-        the fused-gather kernel)."""
+        the fused-gather kernel).  ``ctab_ref`` (center-out ordering)
+        carries packed per-voxel coordinates when iota cannot."""
         from jax.experimental import pallas as pl
 
         norm = _row(aux_ref, 0)               # [1, TB]
@@ -322,8 +353,9 @@ def make_pallas_lm(
         cp = cp_ref[:]                        # [n*P, TB]
         pos_at = pos_ref[:]                   # [n*D, TB]
 
-        def read_chunk(c0):
-            """Pixel slice [c0, c0+CL) of the input + offsets + fit mask.
+        def chunk_geom(c0):
+            """Offsets + fit mask for pixel slice [c0, c0+CL) — no pixel
+            read, so an all-empty chunk can be skipped BEFORE its DMA.
 
             Offsets are generated in-register from iota (pallas kernels
             cannot capture array constants).  The mask matches
@@ -331,14 +363,24 @@ def make_pallas_lm(
             the (ellipsoidal) radius of ANY feature at its gather-time
             position, 0.0 outside and on the padded chunk tail.
             """
-            pixc = pix_of_chunk(c0)
             ids = jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0) + c0
-            off = []
-            stride = Npix
-            for d in range(D):
-                stride //= window_shape[d]
-                off.append(((ids // stride) % window_shape[d])
-                           .astype(jnp.float32))
+            if ctab_ref is not None:
+                pk = ctab_ref[pl.ds(c0, CL), 0:1].astype(jnp.int32)
+                zi = pk // 65536
+                rem = pk - zi * 65536
+                yi = rem // 256
+                off = [
+                    zi.astype(jnp.float32),
+                    yi.astype(jnp.float32),
+                    (rem - yi * 256).astype(jnp.float32),
+                ]
+            else:
+                off = []
+                stride = Npix
+                for d in range(D):
+                    stride //= window_shape[d]
+                    off.append(((ids // stride) % window_shape[d])
+                               .astype(jnp.float32))
             inside = None
             for i in range(n):
                 r2m = None
@@ -351,7 +393,7 @@ def make_pallas_lm(
             if Npix_pad > Npix:
                 inside = inside & (ids < Npix)
             maskc = inside.astype(jnp.float32)
-            return pixc, maskc, off
+            return maskc, off
 
         def krow(s):
             """Compact kernel row for std slot s (identity when no
@@ -638,9 +680,8 @@ def make_pallas_lm(
         NACC = 1 + Vk + len(tri)
         NACCp = -(-NACC // 8) * 8
 
-        def _chunk_rows(x, c0, with_jac):
+        def _chunk_rows(x, c0, with_jac, pixc, maskc, off):
             """One chunk's contribution as a list of NACC [1, TB] rows."""
-            pixc, maskc, off = read_chunk(c0)
             if not with_jac:
                 r = chunk_eval(x, pixc, maskc, off, with_jac=False)
                 return [_rsum(r * r)]
@@ -662,11 +703,34 @@ def make_pallas_lm(
                     rows = rows + [jnp.zeros((n_pad, TBk), jnp.float32)]
                 return jnp.concatenate(rows, axis=0)
 
+            def packed(c0):
+                """Chunk contribution, skipping DMA + eval for a chunk
+                whose fit mask is empty on EVERY lane of the tile — a
+                zero contribution by construction (wc ≡ 0 ⇒ r ≡ 0 and
+                every J row ≡ 0), so the skip is bit-exact.  3D windows
+                are mostly out-of-mask corner voxels (a 16³ tetramer box
+                is ~70% outside the union of spheres), so whole raveled
+                z-slabs drop out."""
+                maskc, off = chunk_geom(c0)
+
+                def live():
+                    return pack(
+                        _chunk_rows(x, c0, with_jac, pix_of_chunk(c0),
+                                    maskc, off)
+                    )
+
+                def dead():
+                    return jnp.zeros((n_rows + n_pad, TBk), jnp.float32)
+
+                if n_chunks == 1:
+                    return live()  # nothing to skip
+                return jax.lax.cond(jnp.any(maskc > 0.0), live, dead)
+
             if n_chunks == 1:
-                return pack(_chunk_rows(x, 0, with_jac))
+                return packed(0)
 
             def body(ci, acc):
-                return acc + pack(_chunk_rows(x, ci * CL, with_jac))
+                return acc + packed(ci * CL)
 
             init = jnp.zeros((n_rows + n_pad, TBk), jnp.float32)
             return jax.lax.fori_loop(0, n_chunks, body, init)
@@ -836,12 +900,13 @@ def make_pallas_lm(
             )
             _, xp, s, _ = jax.lax.while_loop(cond, body, init)
 
-            # masked-pixel count (for the caller's rms normalization)
+            # masked-pixel count (for the caller's rms normalization;
+            # chunk_geom needs no pixel DMA)
             if n_chunks == 1:
-                npix = _rsum(read_chunk(0)[1])
+                npix = _rsum(chunk_geom(0)[0])
             else:
                 def np_body(ci, acc):
-                    m = _rsum(read_chunk(ci * CL)[1])
+                    m = _rsum(chunk_geom(ci * CL)[0])
                     return acc + jnp.concatenate(
                         [m, jnp.zeros((7, TB), jnp.float32)], axis=0
                     )
@@ -861,14 +926,20 @@ def make_pallas_lm(
             stats_ref[4:5, :] = npix
             stats_ref[5:8, :] = jnp.zeros((3, TB), jnp.float32)
 
-    def kernel(vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
-               xout_ref, stats_ref):
+    def kernel(*refs):
         from jax.experimental import pallas as pl
 
+        if use_ctab:
+            (vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
+             ctab_ref, xout_ref, stats_ref) = refs
+        else:
+            (vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
+             xout_ref, stats_ref) = refs
+            ctab_ref = None
         kernel_impl(
             lambda c0: pix_ref[pl.ds(c0, CL), :],
             vect_ref, cp_ref, pos_ref, org_ref, aux_ref,
-            xout_ref, stats_ref,
+            xout_ref, stats_ref, ctab_ref,
         )
 
     def kernel_stream(vect_ref, cp_ref, pix_hbm, pos_ref, org_ref,
@@ -1052,6 +1123,8 @@ def make_pallas_lm(
         vT = padB(vc).T                                       # [Vk, Bp]
         cpT = padB(const_params).reshape(Bpad, n * P).T       # [nP, Bp]
         pixT = padB(pixels).T                                 # [Npix, Bp]
+        if use_ctab:  # center-out voxel order (see _perm above)
+            pixT = jnp.take(pixT, jnp.asarray(_perm), axis=0)
         posT = padB(pos_at).reshape(Bpad, n * D).T            # [nD, Bp]
         orgT = padB(origin).astype(jnp.float32).T             # [D, Bp]
         aux = jnp.stack(
@@ -1095,20 +1168,29 @@ def make_pallas_lm(
                 interpret=interpret,
             )(vT, cpT, pixT, posT, orgT, aux)
         else:
+            specs = [
+                spec(Vk), spec(n * P), spec(Npix_pad), spec(n * D),
+                spec(D), spec(3),
+            ]
+            ops = (vT, cpT, pixT, posT, orgT, aux)
+            if use_ctab:
+                # every tile reads the SAME coordinate table block
+                specs.append(pl.BlockSpec(
+                    (Npix_pad, 1), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ))
+                ops = ops + (jnp.asarray(_ctab_np),)
             xT, stats = pl.pallas_call(
                 kernel,
                 grid=grid,
-                in_specs=[
-                    spec(Vk), spec(n * P), spec(Npix_pad), spec(n * D),
-                    spec(D), spec(3),
-                ],
+                in_specs=specs,
                 out_specs=[spec(Vk), spec(8)],
                 out_shape=[
                     jax.ShapeDtypeStruct((Vk, Bpad), jnp.float32),
                     jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
                 ],
                 interpret=interpret,
-            )(vT, cpT, pixT, posT, orgT, aux)
+            )(*ops)
 
         return LMResult(
             x=_expand_out(vect0, xT.T[:B]),
