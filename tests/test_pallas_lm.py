@@ -542,3 +542,46 @@ def test_pallas_available_streams_large_windows():
     assert pallas_available(model, layout, False, None, (32, 32, 32))
     # beyond the streaming cap still rejects
     assert not pallas_available(model, layout, False, None, (80, 80, 80))
+
+
+def test_pallas_3d_multichunk_ctab_matches_xla():
+    """Unconstrained 3D multi-chunk path (center-out voxel ordering +
+    per-chunk mask skip): refine via the kernel must match the XLA
+    solver on the same aniso z-stack dimers (the config-4 class)."""
+    import pandas as pd
+    import clustertracking_tpu as ct
+    import clustertracking_tpu.artificial as artificial
+
+    rng = np.random.default_rng(6)
+    img = np.zeros((32, 48, 48))
+    rows = []
+    for c in [(14.0, 14.0, 14.0), (16.0, 34.0, 30.0)]:
+        true = artificial.draw_cluster(
+            img, np.asarray(c), size=(1.5, 2.2, 2.2), separation=4.5,
+            n=2, signal=150.0, angle=rng.uniform(0, np.pi),
+        )
+        for p in true + rng.uniform(-0.2, 0.2, true.shape):
+            rows.append({"frame": 0, "z": p[0], "y": p[1], "x": p[2],
+                         "signal": 150.0})
+    f = pd.DataFrame(rows)
+    f["size_z"], f["size_y"], f["size_x"] = 1.4, 2.1, 2.1
+    common = dict(
+        diameter=(7, 9, 9), separation=5.0,
+        param_mode={"size_z": "var", "size_y": "var", "size_x": "var"},
+    )
+    out_x = ct.refine_leastsq(f, img, lm_backend="xla", **common)
+    out_p = ct.refine_leastsq(f, img, lm_backend="pallas", **common)
+    assert out_p["cost"].notna().all()
+    cols = ["z", "y", "x", "signal", "size_z", "size_y"]
+    np.testing.assert_allclose(
+        out_p[cols].to_numpy(), out_x[cols].to_numpy(),
+        rtol=0, atol=2e-3,
+    )
+    true_all = np.array(
+        [[14.0, 14.0, 14.0], [16.0, 34.0, 30.0]]
+    )  # cluster centers; member positions checked via truth rows
+    err = np.abs(
+        out_p[["z", "y", "x"]].to_numpy().reshape(2, 2, 3).mean(axis=1)
+        - true_all
+    ).max()
+    assert err < 0.05
