@@ -232,9 +232,23 @@ def _refine_with_recovery(
             new = pd.concat(kept, ignore_index=True) if kept else new
         if not len(new):
             break
-        cols = pos_columns + ["signal", t_column]
+        # carry EVERY fitted parameter column of the accepted features
+        # into the refit (they are both the warm start and — via the
+        # rejection-keeps-originals contract — the fallback when a
+        # joint refit fails); recovered candidates fill missing params
+        # with the accepted-population medians
+        carry = [
+            c for c in acc.columns
+            if c not in ("cluster", "cluster_size", "cost",
+                         "fit_converged", "fit_n_iter", "particle")
+            and not c.endswith("_std")
+        ]
+        new_f = new.copy()
+        for c in carry:
+            if c not in new_f.columns:
+                new_f[c] = float(acc[c].median())
         combined = pd.concat(
-            [acc[cols], new[cols]], ignore_index=True
+            [acc[carry], new_f[carry]], ignore_index=True
         )
         combined["_recovered"] = np.concatenate(
             [np.zeros(len(acc), bool), np.ones(len(new), bool)]
@@ -288,17 +302,34 @@ def _refine_with_recovery(
         # reference and are kept on the fit-acceptance criteria alone.
         ghost = np.zeros(len(f), dtype=bool)
         cl = f["cluster"].to_numpy()
-        costs = f["cost"].to_numpy()
+        costs = f["cost"].to_numpy().copy()
+        n_restored = 0
         for cid in np.unique(cl[recovered_col]):
             rows_c = np.nonzero(cl == cid)[0]
+            new_cost = costs[rows_c[0]]
+            if not np.isfinite(new_cost):
+                # the joint refit DIVERGED (degenerate near-coincident
+                # candidates do this): the rejection contract already
+                # left the original members' previously fitted values
+                # in place — restore their old cost so they survive,
+                # and drop the recovered candidates that broke the fit
+                ghost[rows_c[recovered_col[rows_c]]] = True
+                orig = rows_c[~recovered_col[rows_c]]
+                good = orig[np.isfinite(old_cost_col[orig])]
+                costs[good] = old_cost_col[good]
+                n_restored += len(good)
+                continue
             old = old_cost_col[rows_c]
             old = old[np.isfinite(old)]
             if not len(old):
                 continue  # all-new cluster: no reference to beat
-            new_cost = costs[rows_c[0]]
-            if not np.isfinite(new_cost) or \
-                    new_cost > 0.8 * float(np.mean(old)):
+            if new_cost > 0.8 * float(np.mean(old)):
                 ghost[rows_c[recovered_col[rows_c]]] = True
+        if n_restored:
+            f["cost"] = costs
+            diagnostics.record_ledger(
+                refit_failures_restored=n_restored
+            )
         # a superfluous candidate (e.g. both residual lobes of a blended
         # pair plus the original) converges to ~zero signal in the joint
         # refit — prune it rather than emit a ghost feature
