@@ -167,7 +167,12 @@ def config2(n_frames=100, reps=1):
     # blobs) flickers out of locate for several frames — the ledger
     # attributes ~2% of feature-frames to this; memory bridges the gaps
     # (trackpy-standard practice for flickering features)
-    kw = dict(diameter=9, separation=5, search_range=3.0, memory=6,
+    # separation STRICTLY ABOVE the 5.0 px dimer bond (reference
+    # practice): at separation == bond, boundary jitter splits half the
+    # dimers across clusters and each split member's fit is biased
+    # ~0.5 px by its partner's core just outside the mask (measured —
+    # the round-2 config had exactly this flaw)
+    kw = dict(diameter=9, separation=6, search_range=3.0, memory=6,
               link_backend="device")
     ct.track(reader, **kw)  # warm run: pays all jit compiles
     with ct.diagnostics.collect() as stats:
@@ -397,8 +402,12 @@ def config5(n_frames=4, features_per_frame=10000):
     # link_backend 'auto' resolves to the host subnet-optimal linker at
     # this density (K≈8000/frame): the device auction's dense cost
     # matrix loses past K≈2000 (measured 5.6 s vs 0.6 s for 4 frames)
-    kw = dict(diameter=9, separation=5, search_range=3.0, memory=2,
-              link_backend="auto", max_features=16384)
+    # separation > bond length (see config2 note); chains grow at this
+    # density, so the bucket cap rises to keep clusters off the serial
+    # scipy spill path
+    kw = dict(diameter=9, separation=6, search_range=3.0, memory=2,
+              link_backend="auto", max_features=16384,
+              max_cluster_size=16)
     ct.track(reader, **kw)  # warm run: pays all jit compiles
     with ct.diagnostics.collect() as stats:
         t0 = time.perf_counter()

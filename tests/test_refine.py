@@ -481,3 +481,43 @@ def test_ndarray_video_stack_reader():
     err = np.abs(out[["y", "x"]].to_numpy()
                  - truth[["y", "x"]].to_numpy()).max()
     assert err < 0.01, err
+
+
+def test_dense_scene_accuracy():
+    """Dense overlapping-dimer field at proper separation (> bond):
+    every cluster size must refine to sub-0.1 px median accuracy.
+    Guards the dense-pipeline accuracy class (BASELINE config 5): at
+    separation == bond the clusters split at the threshold boundary and
+    fits are ~0.5 px biased by partner cores outside the mask — the
+    round-2 suite misconfiguration this test would have caught."""
+    from clustertracking_tpu.artificial import (
+        CoordinateReader,
+        gen_random_locations,
+    )
+
+    rng = np.random.default_rng(5)
+    shape = (160, 160)
+    centers = gen_random_locations(
+        (136, 136), 55, margin=0, rng=rng
+    ) + 12.0
+    angles = rng.uniform(0, np.pi, len(centers))
+    offs = 2.5 * np.stack([np.sin(angles), np.cos(angles)], axis=-1)
+    rows = []
+    for k in range(len(centers)):
+        for sgn in (+1, -1):
+            p = centers[k] + sgn * offs[k]
+            rows.append({"frame": 0, "y": p[0], "x": p[1],
+                         "signal": 150.0})
+    truth = pd.DataFrame(rows)
+    img = np.asarray(CoordinateReader(truth, shape, size=1.6)[0])
+    f = truth.copy()
+    f[["y", "x"]] += rng.uniform(-0.3, 0.3, (len(f), 2))
+    out = ct.refine_leastsq(
+        f, img, diameter=9, separation=6, param_val={"size": 1.6}
+    )
+    err = np.linalg.norm(
+        out[["y", "x"]].to_numpy() - truth[["y", "x"]].to_numpy(),
+        axis=1,
+    )
+    assert np.median(err) < 0.05, np.median(err)
+    assert np.percentile(err, 90) < 0.3, np.percentile(err, 90)
