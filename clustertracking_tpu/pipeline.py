@@ -22,6 +22,11 @@ from .ops.locate import grey_dilation
 from .refine import refine_leastsq
 from .utils import default_pos_columns, validate_tuple
 
+# experiment toggles for the recovery pass (see _refine_with_recovery);
+# module-level so A/B measurements can flip them
+_BLEND_SPLIT = True
+_DISP_GATE = 2.0  # px; None disables the refit-displacement ghost gate
+
 __all__ = ["locate", "track"]
 
 
@@ -206,11 +211,12 @@ def _refine_with_recovery(
 
         dup_r = 0.5 * float(min(locate_separation))
         acc = f[f["cost"].notna()]
+        rreader = _ResidualReader(
+            reader, acc, refine_kwargs.get("fit_function", "gauss"),
+            t_column, pos_columns,
+        )
         new = _locate_frames(
-            _ResidualReader(
-                reader, acc, refine_kwargs.get("fit_function", "gauss"),
-                t_column, pos_columns,
-            ),
+            rreader,
             frame_numbers, diameter, locate_separation, threshold,
             percentile, max_features, t_column,
         )
@@ -253,6 +259,9 @@ def _refine_with_recovery(
         combined["_recovered"] = np.concatenate(
             [np.zeros(len(acc), bool), np.ones(len(new), bool)]
         )
+        combined["_acc_row"] = np.concatenate(
+            [np.arange(len(acc)), np.full(len(new), -1)]
+        )
         # previous fit cost per ORIGINAL feature: the reference value
         # for the likelihood-ratio accept below (a recovered candidate
         # must BUY its place by dropping its cluster's cost)
@@ -260,6 +269,93 @@ def _refine_with_recovery(
             [acc["cost"].to_numpy(dtype=float),
              np.full(len(new), np.nan)]
         )
+        # Blend-split warm start: a residual candidate near an accepted
+        # feature usually means that feature's fit sat at the MIDPOINT
+        # of a blended pair (single intensity maximum) with ~doubled
+        # signal.  Mirror the original to the far side (o' = 2o − c) and
+        # split its fitted signal between the two, so the joint refit
+        # starts near the pair's true geometry instead of a degenerate
+        # near-coincident stack — measured at dense scale, the stacked
+        # start made most recovery refits diverge.  A candidate that was
+        # actually a noise lobe leaves o' ~2 px off a true feature; the
+        # refit walks it back and the candidate converges to ~zero
+        # signal (pruned below), gated by the likelihood-ratio accept.
+        # A SECOND residual lobe near the mirror position is redundant
+        # with o' (clean blends give two lobes) and is dropped.
+        # 0.45·sep: covers real blends (lobe-to-midpoint ≈ half the pair
+        # separation, and pairs only blend below ~2.2σ < sep) while
+        # guaranteeing the mirrored pair (2d apart) still clusters.
+        blend_r = (
+            0.45 * float(min(np.atleast_1d(sep))) if _BLEND_SPLIT
+            else -1.0
+        )
+        # pre-split snapshot: if a cluster's joint refit fails below, its
+        # original members roll back to THESE values (their previous
+        # accepted fits) — restoring only the cost would leave the
+        # mirrored position / halved signal in the output (measured: the
+        # restored features sat ~2 px off and coverage DROPPED)
+        for c in (*pos_columns, "signal"):
+            combined[f"_pre_{c}"] = combined[c].to_numpy(dtype=float)
+        pos_np = combined[pos_columns].to_numpy()
+        sig_np0 = combined["signal"].to_numpy().copy()
+        rec_np = combined["_recovered"].to_numpy()
+        oc_np = combined["_old_cost"].to_numpy()
+        tcol_np = combined[t_column].to_numpy()
+        # a blended-midpoint fit carries an ELEVATED residual cost (the
+        # model cannot reproduce a pair with one feature); an original
+        # fit at the noise floor is NOT a blend, and mirroring it
+        # corrupts a perfectly good fit off a spurious candidate
+        # (measured: noiseless dimers at cost 1e-7 were dragged 2 px by
+        # numerical-noise residual plateaus)
+        med_cost = float(np.nanmedian(oc_np[~rec_np]))
+        cost_gate = max(1.2 * med_cost, 1e-12)
+        drop_dup = np.zeros(len(combined), bool)
+        used_orig: set = set()
+        claiming: set = set()
+        for t in np.unique(tcol_np[rec_np]):
+            in_t = np.nonzero(tcol_np == t)[0]
+            orig_t = in_t[~rec_np[in_t]]
+            new_t = in_t[rec_np[in_t]]
+            if not len(orig_t) or not len(new_t):
+                continue
+            tree = cKDTree(pos_np[orig_t])
+            # brightest candidates claim their blended partner first
+            for j in new_t[np.argsort(-sig_np0[new_t])]:
+                if drop_dup[j]:
+                    continue
+                d, k = tree.query(pos_np[j])
+                o = orig_t[k]
+                if d > blend_r or o in used_orig:
+                    continue
+                if not (oc_np[o] > cost_gate):
+                    continue  # o's fit is already clean — not a blend
+                # stacked-pair gate: when a SECOND original sits nearly
+                # on top of o (the main fit placed two features at one
+                # blended blob), the joint refit already has the spare
+                # degree of freedom it needs — mirroring each of the
+                # stack tears the cluster apart (measured: the clean
+                # merged-pair suite went 0.00 → 1.74 px)
+                d2o, _k2 = tree.query(pos_np[o], k=2)
+                if len(orig_t) > 1 and d2o[1] < max(dup_r, 1.0):
+                    continue
+                used_orig.add(o)
+                claiming.add(j)
+                pos_np[o] = 2.0 * pos_np[o] - pos_np[j]
+                half = 0.5 * sig_np0[o]
+                sig_np0[o] = half
+                sig_np0[j] = half
+                dd = np.linalg.norm(
+                    pos_np[new_t] - pos_np[o], axis=1
+                )
+                for j2 in new_t[dd < max(dup_r, 1.0)]:
+                    # never drop a candidate that fired a mirror: its
+                    # original is already moved and needs it in the refit
+                    if j2 != j and j2 not in claiming:
+                        drop_dup[j2] = True
+        combined[pos_columns] = pos_np
+        combined["signal"] = sig_np0
+        if drop_dup.any():
+            combined = combined[~drop_dup].reset_index(drop=True)
         combined = find_clusters(
             combined, sep, t_column=t_column, backend=find_backend
         )
@@ -283,52 +379,117 @@ def _refine_with_recovery(
             (combined["cluster_size"] > max_cluster).sum()
         )
         sig_floor = 0.05 * float(acc["signal"].median())
+        # Same-mask likelihood reference: for every cluster that gained a
+        # candidate, evaluate the PREVIOUS model's residual rms on that
+        # cluster's own footprint (union of member spheres), in the same
+        # units as refine's cost (rms of residual/norm over the mask).
+        # The residual frames ARE data − previous model (rreader), so
+        # this is one masked reduction per cluster — no extra fit.
+        # Comparing against the old per-member costs instead (measured)
+        # rejects real recoveries wholesale: those costs were computed on
+        # DIFFERENT, smaller masks that excluded exactly the pixels the
+        # missed feature occupies.
+        # only clusters that actually GAINED a candidate refit; untouched
+        # clusters pass through with their accepted fits unchanged
+        # (mirrored originals always share their claiming candidate's
+        # cluster — |o'−c| = 2|o−c| ≤ 0.9·sep — so no moved feature can
+        # land here).  At dense scale this cuts the refit to ~40% of the
+        # features and removes re-fit churn on untouched clusters.
+        in_refit = combined["cluster"].isin(
+            combined.loc[combined["_recovered"], "cluster"]
+        ).to_numpy()
+        rest = combined[~in_refit].copy()
+        combined = combined[in_refit].reset_index(drop=True)
+        old_ref = _old_rms_on_footprint(
+            combined, rreader, diameter, pos_columns, t_column,
+        )
+        # the refit must not pre-reject large blended clusters on the
+        # global max_rms_dev while our per-cluster accept below has the
+        # statistically right reference — gate ourselves instead
+        max_rms_dev = float(refine_kwargs.get("max_rms_dev", 1.0))
+        rk_refit = dict(refine_kwargs, max_rms_dev=np.inf)
         f = refine_leastsq(
             combined, reader, diameter, sep, t_column=t_column,
-            mesh=mesh, **refine_kwargs,
+            mesh=mesh, **rk_refit,
         )
+        if len(rest):
+            # untouched rows keep every fitted output column from acc
+            # (cost, flags, _std ...) — the pass never churns them
+            ar = rest["_acc_row"].to_numpy()
+            for c in acc.columns:
+                if c not in rest.columns and c != "particle":
+                    rest[c] = acc[c].to_numpy()[ar]
+            rest["cost"] = rest["_old_cost"]
+            f = pd.concat([f, rest], ignore_index=True)
         recovered_col = f["_recovered"].to_numpy()
         old_cost_col = f["_old_cost"].to_numpy()
-        f = f.drop(columns=["_recovered", "_old_cost"])
-        # Likelihood-ratio accept (VERDICT r2 item 3): a recovered
-        # candidate joins only if its cluster's JOINT refit cost beats
-        # the previous fit of the original members it joins by a real
-        # margin.  A missing partner of a blended pair leaves a huge
-        # residual, so the joint cost drops by a large factor; a
-        # fit-imperfection lobe buys only a marginal improvement
-        # (adding any free feature always helps a little).  Clusters
-        # made ONLY of recovered candidates (a feature the locator
-        # missed entirely, standing alone in the residual) have no old
-        # reference and are kept on the fit-acceptance criteria alone.
+        pre_cols = [f"_pre_{c}" for c in (*pos_columns, "signal")]
+        pre_vals = f[pre_cols].to_numpy()
+        f = f.drop(columns=["_recovered", "_old_cost", "_acc_row",
+                            *pre_cols])
+        # Likelihood-ratio accept (VERDICT r2 item 3), SAME-mask form:
+        # a recovered candidate joins only if its cluster's joint refit
+        # rms beats the PREVIOUS model's residual rms evaluated on the
+        # same footprint (old_ref) by a real margin.  A missing partner
+        # of a blended pair leaves an entire unmodeled feature in the
+        # old residual, so old_ref is several× the joint rms; a noise
+        # lobe leaves old_ref at the noise floor, which the joint fit
+        # cannot beat by 20%.  This applies uniformly to all-new
+        # clusters (a feature the locator missed entirely) — their
+        # footprint's old residual is the unmodeled feature itself.
         ghost = np.zeros(len(f), dtype=bool)
+        restore = np.zeros(len(f), dtype=bool)
         cl = f["cluster"].to_numpy()
         costs = f["cost"].to_numpy().copy()
-        n_restored = 0
+        has_cand = np.zeros(len(f), dtype=bool)
         for cid in np.unique(cl[recovered_col]):
             rows_c = np.nonzero(cl == cid)[0]
+            has_cand[rows_c] = True
             new_cost = costs[rows_c[0]]
-            if not np.isfinite(new_cost):
-                # the joint refit DIVERGED (degenerate near-coincident
-                # candidates do this): the rejection contract already
-                # left the original members' previously fitted values
-                # in place — restore their old cost so they survive,
-                # and drop the recovered candidates that broke the fit
-                ghost[rows_c[recovered_col[rows_c]]] = True
-                orig = rows_c[~recovered_col[rows_c]]
-                good = orig[np.isfinite(old_cost_col[orig])]
-                costs[good] = old_cost_col[good]
-                n_restored += len(good)
-                continue
-            old = old_cost_col[rows_c]
-            old = old[np.isfinite(old)]
-            if not len(old):
-                continue  # all-new cluster: no reference to beat
-            if new_cost > 0.8 * float(np.mean(old)):
-                ghost[rows_c[recovered_col[rows_c]]] = True
-        if n_restored:
-            f["cost"] = costs
+            ref = old_ref.get(int(cid), np.nan)
+            if (
+                np.isfinite(new_cost)
+                and np.isfinite(ref)
+                and new_cost <= 0.8 * ref
+            ):
+                continue  # accepted: the candidates bought their place
+            # the joint refit DIVERGED (degenerate near-coincident
+            # candidates do this) or failed the likelihood-ratio test:
+            # drop the recovered candidates AND roll every original
+            # member back to its pre-split fitted values + old cost —
+            # the blend-split warm start moved/halved them, and the
+            # failed refit's values are no better than the previous fit
+            ghost[rows_c[recovered_col[rows_c]]] = True
+            orig = rows_c[~recovered_col[rows_c]]
+            good = orig[np.isfinite(old_cost_col[orig])]
+            restore[good] = True
+            costs[good] = old_cost_col[good]
+        # candidate-less clusters ran under the uncapped refit too:
+        # re-impose the user's max_rms_dev AND roll back any cluster
+        # whose refit REGRESSED vs its previous accepted cost (a mirror
+        # whose claiming candidate landed in another cluster can corrupt
+        # the warm start; warm-started at the old solution a refit never
+        # regresses >20%, so this net only catches corruption)
+        old_mean = (
+            pd.Series(old_cost_col).groupby(cl).transform("mean")
+            .to_numpy()
+        )
+        bad = ~has_cand & (
+            ~np.isfinite(costs)
+            | (costs > max_rms_dev)
+            | (np.isfinite(old_mean) & (costs > 1.2 * old_mean + 1e-12))
+        )
+        good = bad & np.isfinite(old_cost_col)
+        restore[good] = True
+        costs[good] = old_cost_col[good]
+        costs[bad & ~good] = np.nan
+        f["cost"] = costs
+        if restore.any():
+            vals = f[[*pos_columns, "signal"]].to_numpy()
+            vals[restore] = pre_vals[restore]
+            f[[*pos_columns, "signal"]] = vals
             diagnostics.record_ledger(
-                refit_failures_restored=n_restored
+                refit_failures_restored=int(restore.sum())
             )
         # a superfluous candidate (e.g. both residual lobes of a blended
         # pair plus the original) converges to ~zero signal in the joint
@@ -336,9 +497,26 @@ def _refine_with_recovery(
         ghost = pd.Series(ghost, index=f.index) | (
             f["cost"].notna() & (f["signal"] < sig_floor)
         )
+        # ...and a candidate the joint refit DRAGGED far from where the
+        # residual locator saw it did not converge to the feature it was
+        # evidence for — the fit repurposed it to soak up unrelated
+        # residual (a ghost >1 px from any truth, measured at dense
+        # scale).  Real recoveries stay within ~1 px of their lobe.
+        if _DISP_GATE is not None:
+            disp = np.linalg.norm(
+                f[list(pos_columns)].to_numpy()
+                - pre_vals[:, : len(pos_columns)],
+                axis=1,
+            )
+            ghost |= pd.Series(
+                recovered_col & (disp > _DISP_GATE), index=f.index
+            )
         # ...or the refit splits one true feature's signal across two
-        # near-coincident candidates: drop the dimmer of any accepted
-        # pair closer than dup_r (true features sit >= separation apart)
+        # near-coincident candidates: drop the RECOVERED one of any
+        # accepted pair closer than dup_r (the dimmer if both are
+        # recovered).  Originals are never dup-pruned — at dense scale
+        # true features can legitimately sit closer than dup_r, and a
+        # recovery pass must not delete features the main fit accepted
         gvals = ghost.to_numpy().copy()
         sig_np = f["signal"].to_numpy()
         okv = f["cost"].notna().to_numpy()
@@ -348,14 +526,73 @@ def _refine_with_recovery(
                 continue
             tree = cKDTree(f.iloc[live][pos_columns].to_numpy())
             for a, b in tree.query_pairs(dup_r):
-                dimmer = live[a] if sig_np[live[a]] <= sig_np[live[b]] \
-                    else live[b]
-                gvals[dimmer] = True
+                ra, rb = recovered_col[live[a]], recovered_col[live[b]]
+                if ra and rb:
+                    drop_j = live[a] if sig_np[live[a]] <= sig_np[live[b]] \
+                        else live[b]
+                elif ra:
+                    drop_j = live[a]
+                elif rb:
+                    drop_j = live[b]
+                else:
+                    continue
+                gvals[drop_j] = True
         ghost = pd.Series(gvals, index=f.index)
         if ghost.any():
             diagnostics.record_ledger(ghosts_pruned=int(ghost.sum()))
             f = f[~ghost]
     return f, n_spill
+
+
+def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
+    """Previous-model residual rms per cluster, on the cluster's own
+    union-of-spheres footprint — refine's cost units (rms of
+    residual/norm over the mask, norm = max member |signal|).
+
+    ``g``: rows of the clusters to evaluate (must carry cluster/signal);
+    ``rreader[t]``: data − previous model (the recovery pass's residual
+    stream).  Returns {cluster_id: rms}.  One masked reduction per
+    cluster; the footprint uses the pre-refit member positions, which is
+    within ~1 px of the refit's final mask — far inside the decision
+    margin (a real missed feature raises the old rms several×)."""
+    ndim = len(pos_columns)
+    radius = np.asarray(validate_tuple(diameter, ndim), float) / 2.0
+    out = {}
+    for t, gt in g.groupby(t_column):
+        res = np.asarray(rreader[int(t)], dtype=np.float32)
+        shape = np.asarray(res.shape)
+        for cid, gc in gt.groupby("cluster"):
+            pos = gc[pos_columns].to_numpy(dtype=float)   # [m, D]
+            lo = np.maximum(
+                np.floor(pos.min(axis=0) - radius).astype(int), 0
+            )
+            hi = np.minimum(
+                np.ceil(pos.max(axis=0) + radius).astype(int) + 1, shape
+            )
+            window = res[tuple(slice(a, b) for a, b in zip(lo, hi))]
+            grid = np.stack(
+                np.meshgrid(
+                    *[np.arange(a, b) for a, b in zip(lo, hi)],
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).astype(float)                               # [*W, D]
+            d2 = np.min(
+                np.sum(
+                    ((grid[None] - pos[(slice(None),)
+                                       + (None,) * ndim]) / radius) ** 2,
+                    axis=-1,
+                ),
+                axis=0,
+            )
+            mask = d2 <= 1.0
+            npx = int(mask.sum())
+            norm = max(float(np.abs(gc["signal"]).max()), 1e-6)
+            out[int(cid)] = (
+                float(np.sqrt(np.sum((window[mask] / norm) ** 2) / npx))
+                if npx else np.inf
+            )
+    return out
 
 
 class _DeviceFrameCache:
