@@ -404,10 +404,13 @@ def config5(n_frames=4, features_per_frame=10000):
     # matrix loses past K≈2000 (measured 5.6 s vs 0.6 s for 4 frames)
     # separation > bond length (see config2 note); chains grow at this
     # density, so the bucket cap rises to keep clusters off the serial
-    # scipy spill path
+    # scipy spill path.  24 covers every chain this video produces
+    # (measured max 20): the size ladder buckets 17-24 as one padded
+    # device bucket, where a size-20 chain fits in ~0.004 s vs ~5-180 s
+    # on the scipy spill path
     kw = dict(diameter=9, separation=6, search_range=3.0, memory=2,
               link_backend="auto", max_features=16384,
-              max_cluster_size=16)
+              max_cluster_size=24)
     ct.track(reader, **kw)  # warm run: pays all jit compiles
     with ct.diagnostics.collect() as stats:
         t0 = time.perf_counter()

@@ -183,6 +183,7 @@ def fit_cluster_scipy(
     max_iter_refit: int = 10,
     max_shift: float = 1.0,
     full_output: bool = False,
+    nfev_budget: int = None,
     **leastsq_kwargs,
 ):
     """Fit one cluster with scipy.optimize.leastsq (reference-equivalent).
@@ -200,6 +201,15 @@ def fit_cluster_scipy(
         from the leastsq covariance — NaN where unavailable), so the
         spill path reports the same failure flags / error columns as
         the batched path (VERDICT r2 item 7).
+      nfev_budget: total function-evaluation budget across ALL
+        refit-on-shift rounds (None = scipy defaults, unbounded rounds).
+        The spill path passes a budget because one pathological
+        oversized cluster otherwise re-enters leastsq up to
+        ``max_iter_refit`` times at up to ~100·(V+1) evals each —
+        measured 364 s for two size-19 chains while the batched device
+        path fit 12k clusters in 0.4 s.  When the budget runs out the
+        current best fit is returned (flagged unconverged if scipy's
+        ier says so).
 
     Returns (params [n, P], rms_cost, n_function_evals[, info]).
     """
@@ -320,6 +330,11 @@ def fit_cluster_scipy(
         )
         if dprofile is not None and (not extras_fitted or have_dex):
             kw.setdefault("Dfun", dresid)
+        if nfev_budget is not None:
+            remaining = nfev_budget - nfev_total
+            if remaining <= 0:
+                break
+            kw.setdefault("maxfev", int(remaining))
         v_opt, cov, info, mesg, ier = leastsq(
             resid, pack(params), full_output=True, **kw
         )
