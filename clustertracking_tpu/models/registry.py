@@ -79,6 +79,13 @@ class ModelSpec:
     # vmapped-grad graph; the analytic form lets XLA CSE shared
     # subexpressions with the forward profile — hot-path models set it).
     dfun: Callable = None
+    # Optional ``dfun_f(f, r2, *extras)`` — d fun / d r2 expressed through
+    # the already-computed forward value ``f = fun(r2, *extras)``.  The
+    # solver hot loops evaluate fun and dfun at the same r2 every sweep;
+    # reusing f drops the second transcendental per feature per pixel
+    # (gauss: one exp instead of two — the VPU-bound 3D rigid kernels are
+    # ~550 elementwise ops/voxel, so this is a measurable slice).
+    dfun_f: Callable = None
 
     # --- derivative accessors (lazily built, cached on the class) ---------
     def dfun_dr2(self) -> Callable:
@@ -138,6 +145,18 @@ def _make_inv_series(n: int) -> ModelSpec:
             p = p * r2
         return -dacc / (acc * acc)
 
+    def dfun_f(f, r2, *coeffs):
+        # -A'/A² = -A'·f² with f = 1/A already computed — saves the
+        # series re-accumulation of A and the division
+        dacc = jnp.zeros_like(r2)
+        dp = jnp.ones_like(r2)
+        p = r2
+        for k, c in enumerate(coeffs, start=1):
+            dacc = dacc + c * k * dp
+            dp = p
+            p = p * r2
+        return -dacc * f * f
+
     # Default coefficients: match the Taylor series of exp(r2/2) so the
     # untrained model approximates a Gaussian (1/exp(-r2/2) = exp(r2/2)).
     fact = 1.0
@@ -153,11 +172,36 @@ def _make_inv_series(n: int) -> ModelSpec:
         continuous=True,
         default_mode={name: "global" for name in names},
         dfun=dfun,
+        dfun_f=dfun_f,
     )
 
 
 def _dgauss(r2):
     return -0.5 * jnp.exp(-0.5 * r2)
+
+
+# f-reusing derivative forms (see ModelSpec.dfun_f).  gauss is exact
+# bit-parity with _dgauss (same exp value, one multiply); the others
+# trade one exp/sigmoid for a few multiplies.
+def _dgauss_f(f, r2):
+    return -0.5 * f
+
+
+def _dring_f(f, r2, thickness):
+    r = jnp.sqrt(r2 + 1e-12)
+    return f * (1.0 - r) / (thickness * thickness) * 0.5 / r
+
+
+def _dhat_f(f, r2, disc_size):
+    r = jnp.sqrt(r2 + 1e-12)
+    edge = jnp.maximum(r - disc_size, 0.0)
+    sigma = jnp.maximum(1.0 - disc_size, 1e-3)
+    return f * (-edge) / (sigma * sigma) * 0.5 / r
+
+
+def _ddisc_f(f, r2):
+    r = jnp.sqrt(r2 + 1e-12)
+    return f * (1.0 - f) * (-10.0) * 0.5 / r
 
 
 def _dring(r2, thickness):
@@ -182,16 +226,20 @@ def _ddisc(r2):
 
 
 MODELS: dict = {
-    "gauss": ModelSpec("gauss", (), _gauss, {}, dfun=_dgauss),
+    "gauss": ModelSpec("gauss", (), _gauss, {}, dfun=_dgauss,
+                       dfun_f=_dgauss_f),
     "ring": ModelSpec(
         "ring", ("thickness",), _ring, {"thickness": 0.2},
         default_mode={"thickness": "cluster"}, dfun=_dring,
+        dfun_f=_dring_f,
     ),
     "hat": ModelSpec(
         "hat", ("disc_size",), _hat, {"disc_size": 0.5},
         default_mode={"disc_size": "cluster"}, dfun=_dhat,
+        dfun_f=_dhat_f,
     ),
-    "disc": ModelSpec("disc", (), _disc, {}, continuous=False, dfun=_ddisc),
+    "disc": ModelSpec("disc", (), _disc, {}, continuous=False, dfun=_ddisc,
+                      dfun_f=_ddisc_f),
 }
 
 _INV_SERIES_RE = re.compile(r"^inv_series_(\d+)$")

@@ -57,15 +57,18 @@ def gather_windows(frame, origins, window_shape: Tuple[int, ...]):
 
 
 def radius_mask(pos, origin, window_shape: Tuple[int, ...], radius,
-                dtype=jnp.float32):
+                dtype=jnp.float32, fvalid=None):
     """1.0 where a pixel lies within the (ellipsoidal) radius of ANY
     feature of the cluster, else 0.0 — mask_image parity.
 
-    pos: [B, n, D]; origin: [B, D] int; radius: length-D sequence.
+    pos: [B, n, D]; origin: [B, D] int; radius: length-D sequence;
+    fvalid: optional [B, n] (ladder pad features claim no pixels).
     """
     offsets = window_offsets(window_shape, dtype)          # [D, Npix]
     rel = pos - origin[:, None, :].astype(dtype)           # [B, n, D]
     r = jnp.asarray(radius, dtype=dtype)
     d = (offsets[None, None] - rel[..., None]) / r[:, None]  # [B,n,D,Npix]
     r2 = jnp.sum(d * d, axis=-2)
+    if fvalid is not None:
+        r2 = jnp.where(fvalid[:, :, None] > 0.5, r2, jnp.inf)
     return (jnp.min(r2, axis=1) <= 1.0).astype(dtype)      # [B, Npix]

@@ -54,6 +54,17 @@ __all__ = ["make_pallas_lm", "pallas_available"]
 _VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the 16MB/core limit
 _CHUNK_BUDGET = 6 * 1024 * 1024  # chunk temporaries' share
 
+# Hard cap on free slots per lane: the per-chunk Jacobian rows, the H
+# upper triangle, and the fully unrolled per-lane Cholesky all occupy
+# Mosaic stack together, and the compiler's scoped-vmem allocator
+# (16.00M limit) charges their peak live set.  Calibrated on hardware
+# (v5e): V=49 (size-16 chain bucket, 2D) compiles and runs; V=60
+# (size-20 chain) demands 21.55M scoped and fails to compile — in both
+# the pixel-resident and the HBM-streaming variant.  Buckets past the
+# cap take the XLA cho_solve path instead (correct, slower — only the
+# extreme chain tail lands there).
+_MAX_KERNEL_SLOTS = 50
+
 
 def _pick_chunk(n_slots: int, npix: int) -> int:
     """Pixel-chunk length (multiple of 8) whose temporaries fit VMEM.
@@ -63,6 +74,8 @@ def _pick_chunk(n_slots: int, npix: int) -> int:
     when the RESIDENT pixel input itself exceeds VMEM — the caller then
     switches to the HBM-streaming variant (_pick_chunk_stream).
     """
+    if n_slots > _MAX_KERNEL_SLOTS:
+        return 0
     resident = 2 * npix * 128 * 4
     if resident > _VMEM_BUDGET - 512 * 1024:
         return 0
@@ -87,7 +100,7 @@ def _pick_chunk_stream(n_slots: int, npix: int) -> int:
     tetramer boxes).  The cost is one HBM read of the pixel block per
     accumulate sweep — ~22 flops/byte of VPU work rides on it, so the
     sweep stays compute-bound."""
-    if npix > _STREAM_NPIX_CAP:
+    if n_slots > _MAX_KERNEL_SLOTS or npix > _STREAM_NPIX_CAP:
         return 0
     per_row = (n_slots + 10) * 128 * 4
     chunk = int(_CHUNK_BUDGET // (per_row + 2 * 128 * 4))
@@ -328,6 +341,7 @@ def make_pallas_lm(
     sig_p = layout.signal_param_idx
     bg_p = layout.background_param_idx
     fun = model.fun
+    dfun_f = model.dfun_f  # f-reusing form: saves one exp/pixel/feature
     dfun = model.dfun if model.dfun is not None else \
         jnp.vectorize(model.dfun_dr2())
     dfun_dex = [jnp.vectorize(model.dfun_dextra(k)) for k in range(n_extra)]
@@ -352,6 +366,10 @@ def make_pallas_lm(
         org = org_ref[:]                      # [D, TB] f32
         cp = cp_ref[:]                        # [n*P, TB]
         pos_at = pos_ref[:]                   # [n*D, TB]
+        # ladder pad features (aux rows 3..3+n): fv == 0 ⇒ the feature
+        # contributes no model intensity, no Jacobian rows (slots go
+        # inert) and claims no mask pixels
+        fv = [_row(aux_ref, 3 + i) for i in range(n)]
 
         def chunk_geom(c0):
             """Offsets + fit mask for pixel slice [c0, c0+CL) — no pixel
@@ -388,7 +406,7 @@ def make_pallas_lm(
                     rel = _row(pos_at, i * D + d) - _row(org, d)
                     dm = (off[d] - rel) * (1.0 / radius[d])
                     r2m = dm * dm if r2m is None else r2m + dm * dm
-                hit = r2m <= 1.0
+                hit = (r2m <= 1.0) & (fv[i] > 0.5)
                 inside = hit if inside is None else (inside | hit)
             if Npix_pad > Npix:
                 inside = inside & (ids < Npix)
@@ -541,7 +559,7 @@ def make_pallas_lm(
                     ])
 
             for i in range(n):
-                sig = prow(x, i, sig_p)
+                sig = prow(x, i, sig_p) * fv[i]
                 ex = [prow(x, i, p) for p in extra_p]
                 sizes = [prow(x, i, p) for p in size_p]
                 if rigid and D == 2:
@@ -576,9 +594,12 @@ def make_pallas_lm(
                 img = img + sig * f
                 if not with_jac:
                     continue
-                sig_df = sig * (dfun(r2, *ex) if n_extra else dfun(r2))
+                if dfun_f is not None:  # reuse f: one exp, not two
+                    sig_df = sig * dfun_f(f, r2, *ex)
+                else:
+                    sig_df = sig * (dfun(r2, *ex) if n_extra else dfun(r2))
                 if slot_idx[i, sig_p] >= 0:
-                    add(krow(int(slot_idx[i, sig_p])), f * wc)
+                    add(krow(int(slot_idx[i, sig_p])), f * wc * fv[i])
                 if rigid and D == 2:
                     # chain rule through the pose map: ∂r/∂pose =
                     # Σ_d (∂r/∂pos_d)·(∂pos_d/∂pose), closed-form trig
@@ -1105,7 +1126,8 @@ def make_pallas_lm(
         )
         return full.at[:, jnp.asarray(keep_idx)].set(xk)
 
-    def solve(vect0, const_params, pixels, pos_at, origin, norm, valid):
+    def solve(vect0, const_params, pixels, pos_at, origin, norm, valid,
+              fvalid=None):
         B = vect0.shape[0]
         Bpad = max(tile_b, -(-B // tile_b) * tile_b)
         pad = Bpad - B
@@ -1127,11 +1149,16 @@ def make_pallas_lm(
             pixT = jnp.take(pixT, jnp.asarray(_perm), axis=0)
         posT = padB(pos_at).reshape(Bpad, n * D).T            # [nD, Bp]
         orgT = padB(origin).astype(jnp.float32).T             # [D, Bp]
-        aux = jnp.stack(
-            [padB(norm), padB(valid, fill=False).astype(norm.dtype),
-             padB(xn)],
+        if fvalid is None:
+            fvalid = jnp.ones((B, n), norm.dtype)
+        aux = jnp.concatenate(
+            [jnp.stack(
+                [padB(norm), padB(valid, fill=False).astype(norm.dtype),
+                 padB(xn)],
+                axis=0,
+            ), padB(fvalid.astype(norm.dtype)).T],
             axis=0,
-        )                                                     # [3, Bp]
+        )                                                     # [3+n, Bp]
         if Npix_pad > Npix:  # equal-chunk padding; in-kernel tail mask
             zt = jnp.zeros((Npix_pad - Npix, Bpad), jnp.float32)
             pixT = jnp.concatenate([pixT, zt], axis=0)
@@ -1154,7 +1181,7 @@ def make_pallas_lm(
                 in_specs=[
                     spec(Vk), spec(n * P),
                     pl.BlockSpec(memory_space=pl.ANY),
-                    spec(n * D), spec(D), spec(3),
+                    spec(n * D), spec(D), spec(3 + n),
                 ],
                 out_specs=[spec(Vk), spec(8)],
                 out_shape=[
@@ -1170,7 +1197,7 @@ def make_pallas_lm(
         else:
             specs = [
                 spec(Vk), spec(n * P), spec(Npix_pad), spec(n * D),
-                spec(D), spec(3),
+                spec(D), spec(3 + n),
             ]
             ops = (vT, cpT, pixT, posT, orgT, aux)
             if use_ctab:
@@ -1201,7 +1228,7 @@ def make_pallas_lm(
         )
 
     def solve_fused(vect0, const_params, frames, frame_idx, pos_at,
-                    origin, norm, valid):
+                    origin, norm, valid, fvalid=None):
         """Fused-gather entry: windows are DMA'd from ``frames`` in HBM
         inside the kernel — no [B, Npix] pixel array ever exists.
 
@@ -1225,9 +1252,14 @@ def make_pallas_lm(
         cpT = padB(const_params).reshape(Bpad, n * P).T
         posT = padB(pos_at).reshape(Bpad, n * D).T
         orgT = padB(origin).astype(jnp.float32).T
-        aux = jnp.stack(
-            [padB(norm), padB(valid, fill=False).astype(norm.dtype),
-             padB(xn)],
+        if fvalid is None:
+            fvalid = jnp.ones((B, n), norm.dtype)
+        aux = jnp.concatenate(
+            [jnp.stack(
+                [padB(norm), padB(valid, fill=False).astype(norm.dtype),
+                 padB(xn)],
+                axis=0,
+            ), padB(fvalid.astype(norm.dtype)).T],
             axis=0,
         )
         # Aligned DMA block corners (edge-clamped) + sub-block offsets.
@@ -1262,7 +1294,7 @@ def make_pallas_lm(
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # frames stay in HBM
                 spec(Vk), spec(n * P), spec(n * D), spec(D), spec(2),
-                spec(3),
+                spec(3 + n),
             ],
             out_specs=[spec(Vk), spec(8)],
             scratch_shapes=[

@@ -99,6 +99,7 @@ def make_model_fns(
     size_idx = np.array(layout.size_param_idx)
 
     fun = model.fun
+    dfun_f = model.dfun_f  # f-reusing form (None → fall back to dfun)
     if model.dfun is not None:
         dfun_dr2 = model.dfun  # analytic, already elementwise
     else:
@@ -117,6 +118,11 @@ def make_model_fns(
         # Window-local arithmetic for f32 precision: dx = (origin+offsets)
         # - pos computed as offsets - (pos - origin), keeping magnitudes
         # O(window) instead of O(frame).  Pixel axis last throughout.
+        # NOTE: sizes divide per pixel (no hoisted-reciprocal micro-opt):
+        # the pallas kernel computes the identical division, and x/s vs
+        # x*(1/s) differ by ULPs that XLA's per-program fusion choices
+        # amplify — hoisting broke the kernel↔XLA bit-parity contract
+        # (test_pallas_matches_xla) when tried.
         rel = pos - origin[:, None, :].astype(dtype)        # [B, n, D]
         size_d = jnp.broadcast_to(size, rel.shape)          # [B, n, D]
         dx = offsets[None, None] - rel[..., None]           # [B,n,D,Npix]
@@ -130,35 +136,53 @@ def make_model_fns(
             return fun(r2, *ex)
         return fun(r2)
 
-    def image_from_params(params, origin):
+    def image_from_params(params, origin, fvalid=None):
         pos, size, signal, bg, extras = _split(params)
+        if fvalid is not None:  # ladder pad features contribute nothing
+            signal = signal * fvalid
         _, r2 = _geometry(pos, size, origin)
         fvals = _profile(r2, extras)
         return bg[:, None] + jnp.sum(signal[:, :, None] * fvals, axis=1)
 
-    def model_image_fn(vect, const_params, origin):
+    def model_image_fn(vect, const_params, origin, fvalid=None):
         params = layout.vect_to_params(vect, const_params)
-        return image_from_params(params, origin)
+        return image_from_params(params, origin, fvalid)
 
-    def residual_fn(vect, const_params, pixels, mask, origin, norm):
-        img = model_image_fn(vect, const_params, origin)
+    def residual_fn(vect, const_params, pixels, mask, origin, norm,
+                    fvalid=None):
+        img = model_image_fn(vect, const_params, origin, fvalid)
         # (mask / norm) FIRST — the same rounding as residual_jac_fn's
         # weight w and the pallas kernel's maskc·inv_norm (mask is 0/1,
         # so all three are bit-identical), keeping acceptance decisions
         # aligned across every solver path
         return (img - pixels) * (mask / norm[:, None])
 
-    def residual_jac_fn(vect, const_params, pixels, mask, origin, norm):
+    def residual_jac_fn(vect, const_params, pixels, mask, origin, norm,
+                        fvalid=None):
         params = layout.vect_to_params(vect, const_params)
         pos, size, signal, bg, extras = _split(params)
+        if fvalid is not None:
+            # a pad feature (fvalid 0) contributes no model intensity and
+            # ZERO Jacobian rows (its slots go inert; damping handles the
+            # zero diagonal exactly like rigid inert position slots) —
+            # signal gating covers every column except the signal one,
+            # which is gated explicitly below
+            signal = signal * fvalid
         dxs, r2 = _geometry(pos, size, origin)
         ex_b = [e[:, :, None] for e in extras]
         fvals = fun(r2, *ex_b) if n_extra else fun(r2)       # [B, n, Npix]
+        if fvalid is not None:
+            fvals_sig = fvals * fvalid[:, :, None]
+        else:
+            fvals_sig = fvals
         img = bg[:, None] + jnp.sum(signal[:, :, None] * fvals, axis=1)
         w = mask / norm[:, None]                             # [B, Npix]
         r = (img - pixels) * w
 
-        df = dfun_dr2(r2, *ex_b) if n_extra else dfun_dr2(r2)
+        if dfun_f is not None:  # reuse the forward value (one exp, not two)
+            df = dfun_f(fvals, r2, *ex_b)
+        else:
+            df = dfun_dr2(r2, *ex_b) if n_extra else dfun_dr2(r2)
         sig_df = signal[:, :, None] * df                     # [B, n, Npix]
 
         size_bn = jnp.broadcast_to(size, pos.shape)          # [B, n, D]
@@ -182,7 +206,7 @@ def make_model_fns(
             return layout.slot_idx[0, p] >= 0
 
         if fitted(layout.signal_param_idx):
-            cols[layout.signal_param_idx] = fvals * w[:, None, :]
+            cols[layout.signal_param_idx] = fvals_sig * w[:, None, :]
 
         for d_axis, p in enumerate(layout.pos_param_idx):
             if fitted(p):

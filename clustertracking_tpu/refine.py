@@ -352,10 +352,16 @@ def _bucket_solver(
             gslots[:] = layout.global_slots
 
     @jax.jit
-    def solve(frames, frame_idx, params0, pose0, valid):
+    def solve(frames, frame_idx, params0, pose0, valid, fvalid=None):
         """frames [T,*S] f32; frame_idx [B] i32; params0 [B,n,P] f32;
         pose0 [B,Q+fit_dist] (dummy [B,0] when unconstrained);
-        valid [B] bool."""
+        valid [B] bool; fvalid [B,n] f32 (ladder pad gating; None for
+        exact/constrained buckets)."""
+        if rigid or generic:
+            # constrained buckets are always exact-size; their custom
+            # residual wrappers take no fvalid (a mesh caller may still
+            # pass all-ones — drop it)
+            fvalid = None
         B = params0.shape[0]
         frame_shape = frames.shape[1:]
         signal0 = params0[..., layout.signal_param_idx]
@@ -446,7 +452,7 @@ def _bucket_solver(
                     frames_g = jnp.pad(frames, pad)
 
         def gather(vect, params_ref, fidx=None, with_mask=True,
-                   with_pixels=True):
+                   with_pixels=True, fv=None):
             if fidx is None:
                 fidx = frame_idx
             pos = positions_of(vect, params_ref)
@@ -466,7 +472,7 @@ def _bucket_solver(
                     frames, fidx, origin, window_shape
                 )
             mask = (
-                radius_mask(pos, origin, window_shape, radius)
+                radius_mask(pos, origin, window_shape, radius, fvalid=fv)
                 if with_mask else None
             )
             return pixels, mask, origin, pos
@@ -497,17 +503,23 @@ def _bucket_solver(
                 fidx_s = jnp.take(frame_idx, order, axis=0)
                 norm_s = jnp.take(norm, order, axis=0)
                 need_s = jnp.take(need, order, axis=0)
+                fv_s = (
+                    None if fvalid is None
+                    else jnp.take(fvalid, order, axis=0)
+                )
             else:
                 order = None
                 vect_s, cp_s, fidx_s = vect, params0, frame_idx
-                norm_s, need_s = norm, need
+                norm_s, need_s, fv_s = norm, need, fvalid
             pixels, mask, origin, pos_at = gather(
                 vect_s, cp_s, fidx_s,
                 with_mask=not use_pallas,
                 with_pixels=not fused,
+                fv=fv_s,
             )
+            fv_extra = () if fvalid is None else (fvalid,)
             if use_global:
-                args = (params0, pixels, mask, origin, norm)
+                args = (params0, pixels, mask, origin, norm) + fv_extra
                 res = lm_solve_global(
                     residual, residual_jac, vect, tuple(gslots), args,
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
@@ -516,14 +528,15 @@ def _bucket_solver(
             elif fused:
                 res = pallas_solve(
                     vect_s, cp_s, frames, fidx_s, pos_at, origin,
-                    norm_s, need_s
+                    norm_s, need_s, fvalid=fv_s
                 )
             elif use_pallas:
                 res = pallas_solve(
-                    vect_s, cp_s, pixels, pos_at, origin, norm_s, need_s
+                    vect_s, cp_s, pixels, pos_at, origin, norm_s,
+                    need_s, fvalid=fv_s
                 )
             else:
-                args = (params0, pixels, mask, origin, norm)
+                args = (params0, pixels, mask, origin, norm) + fv_extra
                 res = lm_solve(
                     residual, residual_jac, vect, args,
                     max_iter=lm_max_iter, ftol=ftol, xtol=xtol,
@@ -582,8 +595,11 @@ def _bucket_solver(
         params = params_of(vect, params0)
 
         if compute_error:
-            pixels, mask, origin, _ = gather(vect, params0)
-            r, J = residual_jac(vect, params0, pixels, mask, origin, norm)
+            pixels, mask, origin, _ = gather(vect, params0, fv=fvalid)
+            err_extra = () if fvalid is None else (fvalid,)
+            r, J = residual_jac(
+                vect, params0, pixels, mask, origin, norm, *err_extra
+            )
             H = jnp.einsum("bun,bvn->buv", J, J,
                            precision=jax.lax.Precision.HIGHEST)
             Vc = H.shape[-1]
@@ -706,9 +722,9 @@ def _mesh_bucket_solver(
         lane_p = P(axis)
         std_spec = lane_p if compute_error else P()
         inner = shard_map(
-            solver,
+            lambda fr, fi, p0, ps, va, fv: solver(fr, fi, p0, ps, va, fv),
             mesh=mesh,
-            in_specs=(P(), lane_p, lane_p, lane_p, lane_p),
+            in_specs=(P(), lane_p, lane_p, lane_p, lane_p, lane_p),
             out_specs=(lane_p, lane_p, lane_p, lane_p, std_spec),
             **_kw,
         )
@@ -731,13 +747,18 @@ def _mesh_bucket_solver(
         else:
             backend_tag = "xla-sharded"
 
-    def call(stack, fidx, params0, pose0, valid):
+    def call(stack, fidx, params0, pose0, valid, fvalid=None):
+        if fvalid is None:
+            fvalid = jnp.ones(
+                (np.asarray(params0).shape[0], n), jnp.float32
+            )
         args = (
             jax.device_put(jnp.asarray(stack, jnp.float32), rep),
             jax.device_put(jnp.asarray(fidx), lane),
             jax.device_put(jnp.asarray(params0), lane),
             jax.device_put(jnp.asarray(pose0), lane),
             jax.device_put(jnp.asarray(valid), lane),
+            jax.device_put(jnp.asarray(fvalid), lane),
         )
         return inner(*args)
 
@@ -914,6 +935,24 @@ def _result_packer(compute_error: bool):
         return jnp.concatenate(cols, axis=1)
 
     return pack
+
+
+_SIZE_LADDER = (1, 2, 3, 4, 6, 8, 10, 12, 16, 20, 24, 32)
+
+
+def _ladder_size(n: int) -> int:
+    """Quantized bucket size for an unconstrained n-feature cluster.
+
+    Sizes above 4 round UP to a ladder step (5→6, 7→8, 13→16, …); the
+    cluster pads with INERT features (fvalid gates their model image,
+    Jacobian rows, and mask pixels to exactly zero), so ONE jitted
+    solver covers several sizes — long-tailed cluster-size
+    distributions stop paying one multi-minute XLA compile per size,
+    and lockstep lanes fill better."""
+    for step in _SIZE_LADDER:
+        if step >= n:
+            return step
+    return -(-n // 8) * 8
 
 
 def _window_shape(n, ndim, radius, separation, frame_shape):
@@ -1175,24 +1214,33 @@ def refine_leastsq(
             backend=backend_str,
         )
 
-        # vectorized writeback across the whole bucket
+        # vectorized writeback across the whole bucket; pos_mat slots
+        # of ladder pad features are -1 and never written back
         rmsB, convB, itB = rms[:B], conv[:B], iters[:B]
-        flat_pos = pos_mat.ravel()
+        real = pos_mat >= 0                             # [B, n]
+        flat_pos = pos_mat[real]
         # first-class failure flags (SURVEY.md §5): solver convergence
         # and iteration count per feature, accepted or not
-        conv_buf[flat_pos] = np.repeat(convB, n)
-        iter_buf[flat_pos] = np.repeat(itB, n)
+        conv_buf[flat_pos] = np.broadcast_to(
+            convB[:, None], real.shape
+        )[real]
+        iter_buf[flat_pos] = np.broadcast_to(
+            itB[:, None], real.shape
+        )[real]
         ok_l = (rmsB <= max_rms_dev) & np.isfinite(rmsB)
         if ok_l.any():
-            okpos = pos_mat[ok_l].ravel()
+            real_ok = real[ok_l]                        # [Bok, n]
+            okpos = pos_mat[ok_l][real_ok]
             pf = params_fit[:B][ok_l]                   # [Bok, n, P]
             for j, name in enumerate(param_names):
-                param_bufs[name][okpos] = pf[:, :, j].ravel()
-            cost_buf[okpos] = np.repeat(rmsB[ok_l], n)
+                param_bufs[name][okpos] = pf[:, :, j][real_ok]
+            cost_buf[okpos] = np.broadcast_to(
+                rmsB[ok_l][:, None], real_ok.shape
+            )[real_ok]
             if compute_error:
                 stdok = std[:B][ok_l]
                 for j, name in enumerate(param_names):
-                    std_cols[name][okpos] = stdok[:, :, j].ravel()
+                    std_cols[name][okpos] = stdok[:, :, j][real_ok]
         # rejected: keep originals, cost stays NaN
 
     for chunk_start in range(0, len(frame_numbers), frames_per_dispatch):
@@ -1211,12 +1259,29 @@ def refine_leastsq(
         frame_local = {int(t): i for i, t in enumerate(chunk)}
         sub = f[f[t_column].isin(chunk)]
 
-        # group clusters by size; within a bucket, sorting by cluster id
-        # makes every cluster a contiguous n-row block, so the whole
-        # bucket assembles with vectorized numpy (per-cluster DataFrame
-        # filtering is O(B²) pandas and dominated host time at 10⁴
-        # clusters)
-        for n, grp in sub.groupby("cluster_size"):
+        # group clusters into LADDER buckets; within a bucket, sorting
+        # by cluster id makes every cluster a contiguous block, so the
+        # whole bucket assembles with vectorized numpy (per-cluster
+        # DataFrame filtering is O(B²) pandas and dominated host time at
+        # 10⁴ clusters).  Unconstrained sizes quantize UP to a ladder
+        # step (_ladder_size) with inert pad features; constrained sizes
+        # keep exact buckets (rigid poses need the true n) and oversize
+        # clusters keep the true size for the spill path.
+        csz_all = sub["cluster_size"].to_numpy()
+
+        def _bucket_of(c):
+            c = int(c)
+            if c in con_map or c > max_cluster_size:
+                return c
+            lad = min(_ladder_size(c), max_cluster_size)
+            # a laddered bucket id must not collide with a CONSTRAINED
+            # size (con_map is keyed by bucket id below): an
+            # unconstrained 5-cluster must not inherit a user's
+            # hexamer constraint by padding into bucket 6
+            return c if lad in con_map else lad
+
+        bucket_ids = np.array([_bucket_of(c) for c in csz_all])
+        for n, grp in sub.groupby(bucket_ids):
             n = int(n)
             grp = grp.sort_values("cluster", kind="stable")
             if n > max_cluster_size:
@@ -1237,38 +1302,50 @@ def refine_leastsq(
             # cluster id must appear exactly cluster_size times, within
             # one frame (find_clusters guarantees this; a hand-edited
             # DataFrame might not, and would silently corrupt the blocks)
-            if len(grp) % n != 0:
-                raise ValueError(
-                    f"inconsistent cluster/cluster_size columns: "
-                    f"{len(grp)} rows with cluster_size={n}"
-                )
-            B = len(grp) // n
-            cid_blocks = grp["cluster"].to_numpy().reshape(B, n)
-            t_blocks = grp[t_column].to_numpy().reshape(B, n)
-            if not (
-                (cid_blocks == cid_blocks[:, :1]).all()
-                and (t_blocks == t_blocks[:, :1]).all()
+            cid = grp["cluster"].to_numpy()
+            boundaries = np.nonzero(np.diff(cid))[0] + 1
+            starts = np.concatenate([[0], boundaries])
+            sizes_arr = np.diff(np.concatenate([starts, [len(grp)]]))
+            csz_first = grp["cluster_size"].to_numpy()[starts]
+            t_arr = grp[t_column].to_numpy()
+            if (
+                (sizes_arr != csz_first).any()
+                or (sizes_arr > n).any()
+                or (t_arr != np.repeat(t_arr[starts], sizes_arr)).any()
             ):
                 raise ValueError(
                     "inconsistent cluster/cluster_size columns: a cluster "
                     "id appears with the wrong multiplicity or spans "
                     "frames — re-run find_clusters"
                 )
+            B = len(starts)
             Bpad = max(
                 lane_quant, int(np.ceil(B / lane_quant)) * lane_quant
             )
-            flat = initial_params(grp, images)          # [B*n, P]
+            flat = initial_params(grp, images)          # [rows, P]
             params0 = np.zeros((Bpad, n, P), dtype=np.float32)
-            params0[:B] = flat.reshape(B, n, P)
-            tcol = t_blocks[:, 0]
+            # pad features replicate member 0 (keeps bbox/window
+            # geometry intact) with signal 0; fvalid gates them out of
+            # the model, the Jacobian, and the mask entirely
+            params0[:B] = np.repeat(flat[starts], n, axis=0).reshape(
+                B, n, P
+            )
+            params0[:B, :, 1] = 0.0
+            within = np.arange(len(grp)) - np.repeat(starts, sizes_arr)
+            slot_flat = np.repeat(np.arange(B), sizes_arr) * n + within
+            params0[:B].reshape(-1, P)[slot_flat] = flat
+            fval = np.zeros((Bpad, n), dtype=np.float32)
+            fval.reshape(-1)[slot_flat] = 1.0
             fidx = np.zeros(Bpad, dtype=np.int32)
-            fidx[:B] = [frame_local[int(t)] for t in tcol]
+            fidx[:B] = [frame_local[int(t)] for t in t_arr[starts]]
             valid = np.zeros(Bpad, dtype=bool)
             valid[:B] = True
-            pos_mat = row_pos[grp.index].to_numpy().reshape(B, n)
+            pos_mat = np.full((B, n), -1, dtype=np.int64)
+            pos_mat.reshape(-1)[slot_flat] = row_pos[grp.index].to_numpy()
             # pad lanes replicate lane 0 (keeps shapes sane numerically)
             if B < Bpad and B > 0:
                 params0[B:] = params0[0]
+                fval[B:] = fval[0]
 
             con = con_map.get(n)
             wshape = _window_shape(n, ndim, radius, separation, frame_shape)
@@ -1318,11 +1395,12 @@ def refine_leastsq(
             from . import diagnostics
 
             t_dispatch = time.perf_counter()
+            fv_arg = None if con is not None else jnp.asarray(fval)
             with diagnostics.stage(f"fit_bucket_n{n}"):
                 handles = _result_packer(compute_error)(*solver(
                     jnp.asarray(stack), jnp.asarray(fidx),
                     jnp.asarray(params0), jnp.asarray(pose0),
-                    jnp.asarray(valid),
+                    jnp.asarray(valid), fv_arg,
                 ))
             # dispatch is asynchronous — queue the device handles and
             # fetch a chunk LATER (pipelining: the device runs this
@@ -1462,6 +1540,12 @@ def _spill_scipy(
             profile=profile,
             norm=norm, max_iter_refit=max_iter, max_shift=max_shift,
             full_output=True,
+            # bound the worst case: scipy's default maxfev is
+            # ~100·(V+1) PER refit round × max_iter rounds — a single
+            # non-converging oversized chain ate 182 s/cluster when the
+            # whole device batch took 0.4 s (benchmarks config 5).
+            # 50·(V+1) total still allows ~several full LM cycles.
+            nfev_budget=min(50 * (layout.n_slots + 1), 20000),
         )
         pos = row_pos[rows.index].to_numpy()
         if conv_buf is not None:

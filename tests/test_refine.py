@@ -521,3 +521,101 @@ def test_dense_scene_accuracy():
     )
     assert np.median(err) < 0.05, np.median(err)
     assert np.percentile(err, 90) < 0.3, np.percentile(err, 90)
+
+
+def test_ladder_bucket_mixed_sizes():
+    """Clusters of size 5 share the size-6 ladder bucket with true
+    6-clusters (inert pad features): both must fit to the same accuracy
+    as exact-size buckets, and pad slots must never write back."""
+    img = np.zeros((96, 160))
+    rng = np.random.default_rng(3)
+    true_all = []
+    rows = []
+    # one 5-chain and one 6-chain (transitive merges at separation 5.5)
+    for y0, x0, k in [(24.0, 20.0, 5), (70.0, 20.0, 6)]:
+        for j in range(k):
+            p = np.array([y0 + rng.uniform(-0.8, 0.8), x0 + j * 4.5])
+            artificial.draw_feature(img, p, 2.0, 150.0)
+            true_all.append(p)
+            rows.append({"frame": 0, "y": p[0], "x": p[1],
+                         "signal": 150.0})
+    true_all = np.asarray(true_all)
+    f = pd.DataFrame(rows)
+    f[["y", "x"]] += rng.uniform(-0.25, 0.25, (len(f), 2))
+    import clustertracking_tpu.diagnostics as diagnostics
+
+    with diagnostics.collect() as stats:
+        out = ct.refine_leastsq(
+            f, img, diameter=9, separation=5.5, param_val={"size": 2.0},
+        )
+    # ONE bucket (ladder size 6) served both clusters
+    sizes = {b.cluster_size for b in stats.batches}
+    assert sizes == {6}, sizes
+    assert out["cost"].notna().all()
+    err = np.abs(out[["y", "x"]].to_numpy() - true_all).max()
+    assert err < 0.02, err
+    assert (out["cluster_size"].to_numpy() == [5] * 5 + [6] * 6).all()
+
+
+def test_ladder_avoids_constrained_bucket():
+    """An unconstrained 5-cluster must NOT ladder into bucket 6 when the
+    user constrains size-6 clusters: it falls back to an exact size-5
+    bucket instead of inheriting the hexamer constraint."""
+    img = np.zeros((64, 128))
+    rng = np.random.default_rng(11)
+    true = []
+    for j in range(5):
+        p = np.array([32.0 + rng.uniform(-0.8, 0.8), 20.0 + j * 4.5])
+        artificial.draw_feature(img, p, 2.0, 150.0)
+        true.append(p)
+    f = pd.DataFrame(np.asarray(true) + rng.uniform(-0.25, 0.25, (5, 2)),
+                     columns=["y", "x"])
+    f["frame"] = 0
+    f["signal"] = 150.0
+
+    def bad_fun(pos):  # would wreck the fit if ever applied
+        return np.asarray(pos)[:, 0] - 999.0
+
+    import clustertracking_tpu.diagnostics as diagnostics
+
+    with diagnostics.collect() as stats:
+        out = ct.refine_leastsq(
+            f, img, diameter=9, separation=5.5, param_val={"size": 2.0},
+            constraints=[{"type": "eq", "fun": bad_fun,
+                          "cluster_size": 6}],
+        )
+    assert {b.cluster_size for b in stats.batches} == {5}
+    err = np.abs(out[["y", "x"]].to_numpy() - np.asarray(true)).max()
+    assert err < 0.02, err
+
+
+def test_ladder_matches_exact_bucket():
+    """A size-5 cluster fit through the ladder (padded to 6) must agree
+    with an exact-size-5 fit to float tolerance (pads are inert)."""
+    import clustertracking_tpu.refine as refine_mod
+
+    img = np.zeros((64, 128))
+    rng = np.random.default_rng(8)
+    true = []
+    for j in range(5):
+        p = np.array([32.0 + rng.uniform(-0.8, 0.8), 20.0 + j * 4.5])
+        artificial.draw_feature(img, p, 2.0, 150.0)
+        true.append(p)
+    f = pd.DataFrame(np.asarray(true) + rng.uniform(-0.25, 0.25, (5, 2)),
+                     columns=["y", "x"])
+    f["frame"] = 0
+    f["signal"] = 150.0
+    out_l = ct.refine_leastsq(f, img, diameter=9, separation=5.5,
+                              param_val={"size": 2.0})
+    orig = refine_mod._ladder_size
+    refine_mod._ladder_size = lambda n: n  # force exact buckets
+    try:
+        out_e = ct.refine_leastsq(f, img, diameter=9, separation=5.5,
+                                  param_val={"size": 2.0})
+    finally:
+        refine_mod._ladder_size = orig
+    np.testing.assert_allclose(
+        out_l[["y", "x", "signal"]].to_numpy(),
+        out_e[["y", "x", "signal"]].to_numpy(),
+        rtol=0, atol=5e-4,
+    )
