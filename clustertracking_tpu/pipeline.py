@@ -10,6 +10,7 @@ round-trips in the hot stages.
 """
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import numpy as np
@@ -149,20 +150,24 @@ def track(
         locate_separation = tuple(
             max(2, int(round(s / 2))) for s in validate_tuple(sep0, ndim0)
         )
+    t0 = time.perf_counter()
     f = _locate_frames(
         reader, range(n_frames), diameter, locate_separation, threshold,
         percentile, max_features, t_column,
     )
+    t1 = time.perf_counter()
 
     ndim = len(default_pos_columns(ndim0))
     pos_columns = default_pos_columns(ndim0)
     sep = separation if separation is not None else diameter
     f = find_clusters(f, sep, t_column=t_column, backend=find_backend)
+    t2 = time.perf_counter()
     f, n_spill = _refine_with_recovery(
         f, reader, diameter, sep, range(n_frames), locate_separation,
         threshold, percentile, max_features, find_backend, t_column,
         recover_passes, pos_columns, mesh, refine_kwargs,
     )
+    t3 = time.perf_counter()
     ok = f["cost"].notna()
     # loss ledger: every feature between locate and the linked output is
     # accounted for (spilled features are still fit — on the host scipy
@@ -178,12 +183,22 @@ def track(
     f = f[ok].reset_index(drop=True)
     if search_range is None:
         search_range = float(np.mean(validate_tuple(diameter, ndim)))
+    t4 = time.perf_counter()
     out = _link(
         f, search_range, memory=memory, t_column=t_column,
         backend=link_backend if link_backend is not None else "auto",
         mesh=mesh,
     )
-    diagnostics.record_ledger(linked=len(out))
+    # stage wall clocks (seconds) ride in the ledger so a slow pipeline
+    # self-attributes: fit_s includes recovery passes (their refits and
+    # residual locates), link_s the chosen backend end-to-end
+    diagnostics.record_ledger(
+        linked=len(out),
+        locate_s=round(t1 - t0, 4),
+        find_s=round(t2 - t1, 4),
+        fit_s=round(t3 - t2, 4),
+        link_s=round(time.perf_counter() - t4, 4),
+    )
     return out
 
 
@@ -220,6 +235,7 @@ def _refine_with_recovery(
             frame_numbers, diameter, locate_separation, threshold,
             percentile, max_features, t_column,
         )
+        diagnostics.record_ledger(residual_candidates=len(new))
         if len(new):
             # drop residual candidates sitting ON TOP of an already
             # fitted feature (imperfect fits leave small residual peaks);
@@ -235,7 +251,11 @@ def _refine_with_recovery(
                     kept.append(g[d >= dup_r])
                 else:
                     kept.append(g)
+            n0 = len(new)
             new = pd.concat(kept, ignore_index=True) if kept else new
+            diagnostics.record_ledger(
+                recovery_dropped_on_top_of_fit=n0 - len(new)
+            )
         if not len(new):
             break
         # carry EVERY fitted parameter column of the accepted features
@@ -354,6 +374,10 @@ def _refine_with_recovery(
                         drop_dup[j2] = True
         combined[pos_columns] = pos_np
         combined["signal"] = sig_np0
+        diagnostics.record_ledger(
+            recovery_blend_mirrors=len(claiming),
+            recovery_dropped_redundant_lobe=int(drop_dup.sum()),
+        )
         if drop_dup.any():
             combined = combined[~drop_dup].reset_index(drop=True)
         combined = find_clusters(
@@ -364,6 +388,9 @@ def _refine_with_recovery(
         # slow serial scipy spill — keep the original features there
         over = combined["cluster_size"] > max_cluster
         drop = over & combined["_recovered"]
+        diagnostics.record_ledger(
+            recovery_dropped_over_cap=int(drop.sum())
+        )
         if drop.any():
             combined = combined.drop(
                 columns=["cluster", "cluster_size"]
@@ -371,7 +398,7 @@ def _refine_with_recovery(
             combined = find_clusters(
                 combined, sep, t_column=t_column, backend=find_backend
             )
-        n_recovered = int(len(new) - drop.sum())
+        n_recovered = int(len(new) - drop_dup.sum() - drop.sum())
         if n_recovered == 0:
             break
         diagnostics.record_ledger(recovered_candidates=n_recovered)
@@ -494,23 +521,28 @@ def _refine_with_recovery(
         # a superfluous candidate (e.g. both residual lobes of a blended
         # pair plus the original) converges to ~zero signal in the joint
         # refit — prune it rather than emit a ghost feature
+        n_lr = int(ghost.sum())
         ghost = pd.Series(ghost, index=f.index) | (
             f["cost"].notna() & (f["signal"] < sig_floor)
         )
+        n_sig = int(ghost.sum()) - n_lr
         # ...and a candidate the joint refit DRAGGED far from where the
         # residual locator saw it did not converge to the feature it was
         # evidence for — the fit repurposed it to soak up unrelated
         # residual (a ghost >1 px from any truth, measured at dense
         # scale).  Real recoveries stay within ~1 px of their lobe.
+        n_disp = 0
         if _DISP_GATE is not None:
             disp = np.linalg.norm(
                 f[list(pos_columns)].to_numpy()
                 - pre_vals[:, : len(pos_columns)],
                 axis=1,
             )
+            before = int(ghost.sum())
             ghost |= pd.Series(
                 recovered_col & (disp > _DISP_GATE), index=f.index
             )
+            n_disp = int(ghost.sum()) - before
         # ...or the refit splits one true feature's signal across two
         # near-coincident candidates: drop the RECOVERED one of any
         # accepted pair closer than dup_r (the dimmer if both are
@@ -539,7 +571,17 @@ def _refine_with_recovery(
                 gvals[drop_j] = True
         ghost = pd.Series(gvals, index=f.index)
         if ghost.any():
-            diagnostics.record_ledger(ghosts_pruned=int(ghost.sum()))
+            # per-gate attribution so a dense-scale ledger explains
+            # every pruned candidate (VERDICT r2 item 3's escape clause)
+            diagnostics.record_ledger(
+                ghosts_pruned=int(ghost.sum()),
+                recovery_rejected_likelihood=n_lr,
+                recovery_pruned_zero_signal=n_sig,
+                recovery_pruned_displacement=n_disp,
+                recovery_pruned_duplicate=(
+                    int(ghost.sum()) - n_lr - n_sig - n_disp
+                ),
+            )
             f = f[~ghost]
     return f, n_spill
 

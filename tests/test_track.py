@@ -106,6 +106,28 @@ def test_recover_passes_finds_merged_features():
     # with recovery every feature is found and accurately placed
     assert len(out1) == len(truth)
     assert s1.ledger.get("recovered_candidates", 0) > 0
+    # the recovery ledger attributes every residual candidate: located
+    # minus the per-gate drops minus survivors must balance (the gates
+    # are: on-top-of-fit, redundant second lobe, over-cap, then the
+    # post-refit prunes counted inside ghosts_pruned)
+    led = s1.ledger
+    assert led["residual_candidates"] >= led["recovered_candidates"]
+    n_gates = (
+        led.get("recovery_dropped_on_top_of_fit", 0)
+        + led.get("recovery_dropped_redundant_lobe", 0)
+        + led.get("recovery_dropped_over_cap", 0)
+    )
+    assert (
+        led["residual_candidates"] - n_gates
+        == led["recovered_candidates"]
+    )
+    if led.get("ghosts_pruned"):
+        assert led["ghosts_pruned"] == (
+            led.get("recovery_rejected_likelihood", 0)
+            + led.get("recovery_pruned_zero_signal", 0)
+            + led.get("recovery_pruned_displacement", 0)
+            + led.get("recovery_pruned_duplicate", 0)
+        )
     from scipy.spatial import cKDTree
 
     for t in range(T):
