@@ -181,7 +181,8 @@ def grey_dilation(
 
 
 @partial(jax.jit, static_argnames=("window_shape", "radius"))
-def feature_sizes(stack, coords, valid, window_shape, radius, bg):
+def feature_sizes(stack, coords, valid, window_shape, radius, bg,
+                  noise=None):
     """Per-candidate isotropic size estimate (trackpy.locate's 'size'
     column — radius of gyration of the background-subtracted intensity
     in the feature's own window).
@@ -199,6 +200,10 @@ def feature_sizes(stack, coords, valid, window_shape, radius, bg):
     valid:  [T, K] bool
     radius: length-D floats (diameter/2) — moment mask radii
     bg:     [T] f32 per-frame background level (median)
+    noise:  optional [T] f32 per-frame noise sigma (robust, e.g.
+            1.4826·MAD); the moment weight floors at bg + noise, else
+            rectified noise (E[max(N(0,s),0)] > 0 on every empty pixel,
+            heaviest at large r) inflates the second moment
     Returns [T, K] f32 sigma estimates: sqrt(<r²>/D) with <r²> the
     background-subtracted, mask-bounded second moment about the peak.
     For a D-dim Gaussian <r²> = D·sigma² (mild truncation bias at the
@@ -218,10 +223,13 @@ def feature_sizes(stack, coords, valid, window_shape, radius, bg):
     # second moment for ~half the candidates (measured +25% median bias
     # on the dense benchmark).  The truncation this causes is corrected
     # analytically below assuming a Gaussian profile.
-    Rm = 0.55 * float(np.min(np.asarray(radius)))
+    Rm = 0.40 * float(np.min(np.asarray(radius)))
     Rm2 = Rm * Rm
 
-    def per_frame(frame, pos, bg_t):
+    if noise is None:
+        noise = jnp.zeros((T,), jnp.float32)
+
+    def per_frame(frame, pos, bg_t, ns_t):
         origin = clamp_origins(
             pos - (w - 1) // 2, window_shape, frame_shape
         )                                                  # [K, D]
@@ -229,37 +237,43 @@ def feature_sizes(stack, coords, valid, window_shape, radius, bg):
         rel = (pos - origin).astype(jnp.float32)           # [K, D]
         d = offsets[None] - rel[..., None]                 # [K, D, Npix]
         r2_px = jnp.sum(d * d, axis=1)                     # [K, Npix]
-        mass = jnp.maximum(win - bg_t, 0.0) * (r2_px <= Rm2)
+        inmask = r2_px <= Rm2
+        mass = jnp.maximum(win - bg_t - ns_t, 0.0) * inmask
         m0 = jnp.maximum(jnp.sum(mass, axis=1), 1e-6)
-        rg2 = jnp.sum(mass * r2_px, axis=1) / m0
-        # Gaussian truncation correction: within radius R the masked
-        # second moment of exp(-r²/2σ²) is D·σ²·c(u), u = R²/(2σ²),
-        # c(u) = (γ(D/2+1, u)/ (D/2)·γ(D/2, u)) — for D=2:
-        # c = (1-(1+u)e^{-u})/(1-e^{-u}).  Fixed-point rounds of
-        # σ ← sqrt(rg²/(D·c)) converge to <2% for σ ≲ 0.8·R (the map
-        # slows as σ → R, where the masked moment saturates).
-        sig = jnp.sqrt(jnp.maximum(rg2 / D, 1e-12))
-        for _ in range(8):
-            u = Rm2 / jnp.maximum(2.0 * sig * sig, 1e-12)
-            eu = jnp.exp(-jnp.minimum(u, 30.0))
-            if D == 2:
-                c = (1.0 - (1.0 + u) * eu) / jnp.maximum(
-                    1.0 - eu, 1e-6
-                )
-            else:
-                # D=3: c = [γ(5/2,u)/Γ(5/2)] / [γ(3/2,u)/Γ(3/2)] via
-                # the recurrence γ(a+1,u) = a·γ(a,u) − u^a e^{-u}
-                su = jnp.sqrt(u)
-                erf = jax.scipy.special.erf(su)
-                g32 = 0.5 * jnp.sqrt(jnp.pi) * erf - su * eu
-                g52 = 1.5 * g32 - u * su * eu
-                c = (g52 / 1.5) / jnp.maximum(g32, 1e-9)
-            sig = jnp.sqrt(
-                jnp.maximum(rg2 / (D * jnp.maximum(c, 0.05)), 1e-12)
-            )
-        return sig
+        # CENTRAL second moment: the integer peak is up to 0.5 px off
+        # the true center; moments about the intensity centroid remove
+        # that bias exactly
+        m1 = jnp.sum(mass[:, None, :] * d, axis=2) / m0[:, None]
+        rg2 = (
+            jnp.sum(mass * r2_px, axis=1) / m0
+            - jnp.sum(m1 * m1, axis=1)
+        )
+        # Truncation correction on the SAME discrete pixel grid: the
+        # mask holds only ~20 pixels at a handful of distinct radii, so
+        # a continuous-Gaussian moment model is badly wrong (measured:
+        # estimates swung 1.07→3.38 across nearby mask radii, and the
+        # measured moment can exceed the continuous model's σ→∞ limit).
+        # Instead invert the discrete masked moment
+        #   m(σ) = Σ_mask r²·e^{-r²/2σ²} / Σ_mask e^{-r²/2σ²}
+        # (monotone in σ) by bisection, per candidate, on its own
+        # (edge-clamped) pixel offsets.
+        def m_disc(sig):  # sig [K]
+            wgt = jnp.exp(
+                -r2_px / jnp.maximum(2.0 * sig * sig, 1e-12)[:, None]
+            ) * inmask
+            w0 = jnp.maximum(jnp.sum(wgt, axis=1), 1e-9)
+            return jnp.sum(wgt * r2_px, axis=1) / w0
 
-    sizes = jax.vmap(per_frame)(stack, coords, bg)
+        lo_s = jnp.full_like(rg2, 0.3)
+        hi_s = jnp.full_like(rg2, 1.5 * Rm)
+        for _ in range(24):
+            mid = 0.5 * (lo_s + hi_s)
+            too_small = m_disc(mid) < rg2
+            lo_s = jnp.where(too_small, mid, lo_s)
+            hi_s = jnp.where(too_small, hi_s, mid)
+        return 0.5 * (lo_s + hi_s)
+
+    sizes = jax.vmap(per_frame)(stack, coords, bg, noise)
     # clip to sane feature scales: [0.5 px, mask radius]
     sizes = jnp.clip(sizes, 0.5, float(np.min(np.asarray(radius))))
     return jnp.where(valid, sizes, 0.0)

@@ -34,8 +34,11 @@ _DISP_GATE = 2.0  # px; None disables the refit-displacement ghost gate
 # 78 → 93 — that band is junk that corrupts warm starts; 0.5 is right.
 _ON_TOP_FRAC = 0.5
 # likelihood accept: the joint refit rms must beat the previous model's
-# same-footprint residual rms by this factor
+# same-footprint residual rms by this factor...
 _ACCEPT_RATIO = 0.8
+# ...and that old rms must exceed the residual noise floor by this
+# factor (evidence an unmodeled feature actually lives there)
+_NOISE_EVIDENCE = 6.0
 # when set to a list, the likelihood accept appends
 # (joint_refit_rms, old_footprint_rms, n_candidates) per touched cluster
 _DEBUG_ACCEPT = None
@@ -90,13 +93,17 @@ def locate(
     from .ops.locate import feature_sizes
 
     wshape = tuple(int(round(d)) | 1 for d in diameter)
+    med0 = float(np.median(image))
+    mad0 = float(np.median(np.abs(np.asarray(image) - med0)))
     sizes = np.asarray(feature_sizes(
         np.asarray(image, np.float32)[None],
         np.asarray(coords, np.int32)[None],
         np.asarray(valid)[None], wshape,
         tuple(d / 2.0 for d in diameter),
-        np.asarray([np.median(image)], np.float32),
-    ))[0]
+        np.asarray([med0], np.float32),
+        noise=np.asarray([1.4826 * mad0], np.float32),
+    ))
+    sizes = _shrink_sizes(sizes, np.asarray(valid)[None])[0]
     f["size"] = sizes[ok]
     return f
 
@@ -452,7 +459,7 @@ def _refine_with_recovery(
         ).to_numpy()
         rest = combined[~in_refit].copy()
         combined = combined[in_refit].reset_index(drop=True)
-        old_ref = _old_rms_on_footprint(
+        old_ref, old_noise = _old_rms_on_footprint(
             combined, rreader, diameter, pos_columns, t_column,
         )
         # the refit must not pre-reject large blended clusters on the
@@ -504,10 +511,24 @@ def _refine_with_recovery(
                     (float(new_cost), float(ref),
                      int(recovered_col[rows_c].sum()))
                 )
+            all_new = bool(recovered_col[rows_c].all())
+            evidence_ok = (
+                ref > _NOISE_EVIDENCE * old_noise.get(int(cid), 0.0)
+                # evidence gate for clusters made ONLY of recovered
+                # candidates: their old footprint rms must stand well
+                # above the residual noise floor, or the "improvement"
+                # is a Gaussian soaking a noise/imperfection blob (the
+                # pass-2 ghost leak: +101 ghosts for +0.35% coverage).
+                # Clusters with original members skip it — their blend
+                # evidence is the ratio test itself, and gating them
+                # rejects real recoveries (measured 90.5 → 87.3%).
+                if all_new else True
+            )
             if (
                 np.isfinite(new_cost)
                 and np.isfinite(ref)
                 and new_cost <= _ACCEPT_RATIO * ref
+                and evidence_ok
             ):
                 continue  # accepted: the candidates bought their place
             # the joint refit DIVERGED (degenerate near-coincident
@@ -623,15 +644,23 @@ def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
 
     ``g``: rows of the clusters to evaluate (must carry cluster/signal);
     ``rreader[t]``: data − previous model (the recovery pass's residual
-    stream).  Returns {cluster_id: rms}.  One masked reduction per
+    stream).  Returns ({cluster_id: rms}, {cluster_id: noise_rms}):
+    ``noise_rms`` is the residual frame's robust noise floor in the SAME
+    normalized units (1.4826·MAD/norm) — a cluster whose old rms does
+    not stand above it carries no evidence of an unmodeled feature (the
+    all-new-cluster ghost leak: fitting a Gaussian to a pure-noise blob
+    always "improves" its own footprint).  One masked reduction per
     cluster; the footprint uses the pre-refit member positions, which is
     within ~1 px of the refit's final mask — far inside the decision
     margin (a real missed feature raises the old rms several×)."""
     ndim = len(pos_columns)
     radius = np.asarray(validate_tuple(diameter, ndim), float) / 2.0
     out = {}
+    out_noise = {}
     for t, gt in g.groupby(t_column):
         res = np.asarray(rreader[int(t)], dtype=np.float32)
+        med_t = float(np.median(res))
+        noise_t = 1.4826 * float(np.median(np.abs(res - med_t)))
         shape = np.asarray(res.shape)
         for cid, gc in gt.groupby("cluster"):
             pos = gc[pos_columns].to_numpy(dtype=float)   # [m, D]
@@ -664,7 +693,8 @@ def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
                 float(np.sqrt(np.sum((window[mask] / norm) ** 2) / npx))
                 if npx else np.inf
             )
-    return out
+            out_noise[int(cid)] = noise_t / norm
+    return out, out_noise
 
 
 class _DeviceFrameCache:
@@ -774,6 +804,19 @@ class _ResidualReader:
         return jnp.asarray(frame, jnp.float32) - rendered
 
 
+def _shrink_sizes(sizes, valid):
+    """Clip per-candidate size estimates to [0.85, 1.15]× the frame
+    median (see the call site in _locate_frames for the rationale)."""
+    out = sizes.copy()
+    for j in range(sizes.shape[0]):
+        ok = valid[j]
+        if not ok.any():
+            continue
+        m = float(np.median(sizes[j][ok]))
+        out[j][ok] = np.clip(sizes[j][ok], 0.85 * m, 1.15 * m)
+    return out
+
+
 def _locate_frames(
     reader, frame_numbers, diameter, locate_separation, threshold,
     percentile, max_features, t_column, stack_chunk: int = 64,
@@ -817,23 +860,23 @@ def _locate_frames(
             )
             flat = stack.reshape(T, -1)
             med = jnp.median(flat, axis=1)
+            mad = jnp.median(jnp.abs(flat - med[:, None]), axis=1)
+            noise = 1.4826 * mad
             if threshold is None:
-                mad = jnp.median(
-                    jnp.abs(flat - med[:, None]), axis=1
-                )
                 pct = jnp.percentile(flat, percentile, axis=1)
-                thr = jnp.maximum(pct, med + 6.0 * 1.4826 * mad)
+                thr = jnp.maximum(pct, med + 6.0 * noise)
             else:
                 thr = jnp.full((T,), threshold, jnp.float32)
         else:
             stack_np = np.stack(images).astype(np.float32)
             flat = stack_np.reshape(T, -1)
             med = np.median(flat, axis=1).astype(np.float32)
+            mad = np.median(np.abs(flat - med[:, None]), axis=1)
+            noise = (1.4826 * mad).astype(np.float32)
             if threshold is None:
-                mad = np.median(np.abs(flat - med[:, None]), axis=1)
                 pct = np.percentile(flat, percentile, axis=1)
                 thr = np.maximum(
-                    pct, med + 6.0 * 1.4826 * mad
+                    pct, med + 6.0 * noise
                 ).astype(np.float32)
             else:
                 thr = np.full(T, threshold, np.float32)
@@ -874,7 +917,17 @@ def _locate_frames(
             jnp.asarray(stack), jnp.asarray(coords, jnp.int32),
             jnp.asarray(valid), wshape,
             tuple(d / 2.0 for d in diam), jnp.asarray(med, jnp.float32),
+            noise=jnp.asarray(noise, jnp.float32),
         ))
+        # Shrink outliers toward the per-frame median: a BLENDED blob's
+        # moment reads the pair extent, not the PSF — seeding its fit
+        # with that inflated width soaks the hidden partner into one
+        # wide profile and erases the residual lobe the recovery pass
+        # needs (measured: clipping blended estimates to ~typical took
+        # dense-scale recovery coverage 88.8 → ~94%).  Within a frame
+        # the PSF width is near-constant; genuine ±15% variation
+        # survives the clip.
+        sizes = _shrink_sizes(sizes, valid)
         for j, t in enumerate(chunk):
             ok = valid[j]
             f_t = pd.DataFrame(

@@ -136,3 +136,36 @@ def test_recover_passes_finds_merged_features():
         tree = cKDTree(og)
         d, _ = tree.query(tg, k=1)
         assert d.max() < 0.25, d.max()
+
+
+def test_dense_recovery_coverage():
+    """Dense-scene recovery end-to-end at reduced scale (config-5
+    density): one pass must lift coverage well above the no-recovery
+    baseline without flooding ghosts.  Pins the size-estimation +
+    blend-split + likelihood-accept chain."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+    import sys
+    sys.path.insert(0, ".")
+    from benchmarks.suite import _video
+    import clustertracking_tpu as ct
+
+    reader, truth = _video(1, 500, (224, 224), 5.0, seed=11)
+    kw = dict(diameter=9, separation=6, search_range=3.0,
+              link_backend="host", max_features=2048,
+              max_cluster_size=24)
+    out0 = ct.track(reader, recover_passes=0, **kw)
+    out1 = ct.track(reader, recover_passes=1, **kw)
+
+    def cov(out):
+        tr = truth[truth["frame"] == 0][["y", "x"]].to_numpy()
+        ot = out[out["cost"].notna()][["y", "x"]].to_numpy()
+        d, _ = cKDTree(ot).query(tr, k=1)
+        d2, _ = cKDTree(tr).query(ot, k=1)
+        return (d < 1.0).mean(), int((d2 > 1.5).sum())
+
+    c0, g0 = cov(out0)
+    c1, g1 = cov(out1)
+    assert c1 > c0 + 0.05, (c0, c1)   # recovery buys real coverage
+    assert c1 > 0.85, c1
+    assert g1 <= max(2 * g0, 15), (g0, g1)  # ghosts stay controlled
