@@ -95,16 +95,27 @@ def locate(
     wshape = tuple(int(round(d)) | 1 for d in diameter)
     med0 = float(np.median(image))
     mad0 = float(np.median(np.abs(np.asarray(image) - med0)))
-    sizes = np.asarray(feature_sizes(
+    sizes_ax = np.array(feature_sizes(
         np.asarray(image, np.float32)[None],
         np.asarray(coords, np.int32)[None],
         np.asarray(valid)[None], wshape,
         tuple(d / 2.0 for d in diameter),
         np.asarray([med0], np.float32),
         noise=np.asarray([1.4826 * mad0], np.float32),
+        per_axis=True,
     ))
-    sizes = _shrink_sizes(sizes, np.asarray(valid)[None])[0]
+    vmask = np.asarray(valid)[None]
+    for ax in range(sizes_ax.shape[-1]):
+        sizes_ax[..., ax] = _shrink_sizes(sizes_ax[..., ax], vmask)
+    sizes = np.exp(
+        np.mean(np.log(np.maximum(sizes_ax, 1e-9)), axis=-1)
+    )[0]
     f["size"] = sizes[ok]
+    if ndim == 3:
+        from .utils import default_size_columns
+
+        for ax, c in enumerate(default_size_columns(3, False)):
+            f[c] = sizes_ax[0, ok, ax]
     return f
 
 
@@ -913,21 +924,30 @@ def _locate_frames(
 
         diam = _vt(diameter, ndim)
         wshape = tuple(int(round(d)) | 1 for d in diam)
-        sizes = np.asarray(feature_sizes(
+        sizes_ax = np.array(feature_sizes(
             jnp.asarray(stack), jnp.asarray(coords, jnp.int32),
             jnp.asarray(valid), wshape,
             tuple(d / 2.0 for d in diam), jnp.asarray(med, jnp.float32),
-            noise=jnp.asarray(noise, jnp.float32),
-        ))
-        # Shrink outliers toward the per-frame median: a BLENDED blob's
-        # moment reads the pair extent, not the PSF — seeding its fit
-        # with that inflated width soaks the hidden partner into one
-        # wide profile and erases the residual lobe the recovery pass
-        # needs (measured: clipping blended estimates to ~typical took
-        # dense-scale recovery coverage 88.8 → ~94%).  Within a frame
-        # the PSF width is near-constant; genuine ±15% variation
-        # survives the clip.
-        sizes = _shrink_sizes(sizes, valid)
+            noise=jnp.asarray(noise, jnp.float32), per_axis=True,
+        ))                                               # [T, K, D]
+        # Shrink outliers toward the per-frame median (per axis): a
+        # BLENDED blob's moment reads the pair extent, not the PSF —
+        # seeding its fit with that inflated width soaks the hidden
+        # partner into one wide profile and erases the residual lobe
+        # the recovery pass needs (measured: clipping blended estimates
+        # to ~typical took dense-scale recovery coverage 88.8 → ~94%).
+        # Within a frame the PSF width is near-constant; genuine ±15%
+        # variation survives the clip.
+        for ax in range(sizes_ax.shape[-1]):
+            sizes_ax[..., ax] = _shrink_sizes(sizes_ax[..., ax], valid)
+        # isotropic scalar = geometric mean of the axes
+        with np.errstate(divide="ignore"):
+            sizes = np.exp(
+                np.mean(np.log(np.maximum(sizes_ax, 1e-9)), axis=-1)
+            ) * (valid > 0)
+        from .utils import default_size_columns
+
+        aniso_cols = default_size_columns(ndim, False)
         for j, t in enumerate(chunk):
             ok = valid[j]
             f_t = pd.DataFrame(
@@ -935,6 +955,12 @@ def _locate_frames(
             )
             f_t["signal"] = vals[j][ok]
             f_t["size"] = sizes[j][ok]
+            if ndim == 3:
+                # z-stack PSFs are elongated along z: per-axis size
+                # columns let refine fit the anisotropic model (the
+                # presence of size_z/size_y/size_x selects it)
+                for ax, c in enumerate(aniso_cols):
+                    f_t[c] = sizes_ax[j, ok, ax]
             f_t[t_column] = t
             out.append(f_t)
         i += stack_chunk

@@ -177,3 +177,25 @@ def test_locate_size_estimate():
         f = locate(img, diameter=11, separation=(5, 5))
         est = f["size"].median()
         assert abs(est - sigma) < 0.12 * sigma + 0.05, (sigma, est)
+
+
+def test_locate_size_estimate_3d_aniso():
+    """3D locate emits per-axis size columns recovering an anisotropic
+    PSF (z elongated, like a confocal stack)."""
+    import numpy as np
+    from clustertracking_tpu import artificial, locate
+
+    rng = np.random.default_rng(9)
+    img = np.zeros((48, 96, 96), np.float32)
+    true_sz = np.array([2.4, 1.4, 1.4])
+    for k in range(8):
+        p = np.array([24.0, 24.0 + 48 * (k // 4),
+                      16.0 + 20 * (k % 4)]) + rng.uniform(-1.5, 1.5, 3)
+        artificial.draw_feature(img, p, true_sz, 150.0)
+    img += rng.normal(0, 1.0, img.shape).astype(np.float32)
+    f = locate(img, diameter=(13, 9, 9), separation=(7, 5, 5))
+    assert {"size", "size_z", "size_y", "size_x"} <= set(f.columns)
+    est = f[["size_z", "size_y", "size_x"]].median().to_numpy()
+    # anisotropy direction and rough magnitude recovered
+    assert est[0] > 1.3 * est[1], est
+    assert np.all(np.abs(est - true_sz) < 0.35 * true_sz + 0.1), est
