@@ -81,6 +81,15 @@ def _pick_chunk(n_slots: int, npix: int) -> int:
         return 0
     per_row = (n_slots + 10) * 128 * 4
     chunk = min(int(_CHUNK_BUDGET - 0) // per_row, npix)
+    # Multi-chunk windows: cap the chunk length at 384 voxels.  The
+    # dead-chunk skip is per chunk across the whole 128-lane tile, so
+    # finer chunks resolve the live/dead boundary of the center-out
+    # voxel order more precisely; with the fit mask resident (one read
+    # per chunk instead of a ~50-op recompute) the per-chunk overhead
+    # no longer penalizes the finer tiling.  Measured on v5e (16³
+    # tetramer): CL 512 → 113k solves/s, 384 → 117k, 256 → 116k.
+    if chunk < npix:
+        chunk = min(chunk, 384)
     chunk = (chunk // 8) * 8
     return max(chunk, 0)
 
@@ -353,11 +362,20 @@ def make_pallas_lm(
     radius = tuple(float(r) for r in radius)
 
     def kernel_impl(pix_of_chunk, vect_ref, cp_ref, pos_ref, org_ref,
-                    aux_ref, xout_ref, stats_ref, ctab_ref=None):
+                    aux_ref, xout_ref, stats_ref, ctab_ref=None,
+                    mask_ref=None):
         """Shared LM body; ``pix_of_chunk(c0) -> [CL, TB]`` supplies pixel
         chunks (from a VMEM input ref, or from the DMA-gathered scratch in
         the fused-gather kernel).  ``ctab_ref`` (center-out ordering)
-        carries packed per-voxel coordinates when iota cannot."""
+        carries packed per-voxel coordinates when iota cannot.
+
+        ``mask_ref`` (a [Npix_pad, TB] VMEM scratch, non-streaming paths)
+        holds the fit mask RESIDENT: the mask depends only on the
+        gather-time positions/origins — fixed for the whole solve — yet
+        it used to be recomputed per chunk per LM sweep (~50 [CL, TB]
+        ops: 4-feature ellipsoid tests), which on a mostly-dead 3D box
+        was ~20%% of kernel time.  Now it is computed ONCE per solve and
+        each sweep just re-reads it (bit-identical values)."""
         from jax.experimental import pallas as pl
 
         norm = _row(aux_ref, 0)               # [1, TB]
@@ -371,15 +389,11 @@ def make_pallas_lm(
         # inert) and claims no mask pixels
         fv = [_row(aux_ref, 3 + i) for i in range(n)]
 
-        def chunk_geom(c0):
-            """Offsets + fit mask for pixel slice [c0, c0+CL) — no pixel
-            read, so an all-empty chunk can be skipped BEFORE its DMA.
+        def chunk_off(c0):
+            """In-register voxel offsets for pixel slice [c0, c0+CL).
 
-            Offsets are generated in-register from iota (pallas kernels
-            cannot capture array constants).  The mask matches
-            ops/gather.py::radius_mask: 1.0 where the pixel lies within
-            the (ellipsoidal) radius of ANY feature at its gather-time
-            position, 0.0 outside and on the padded chunk tail.
+            Generated from iota (pallas kernels cannot capture array
+            constants) or unpacked from the center-out coordinate table.
             """
             ids = jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0) + c0
             if ctab_ref is not None:
@@ -399,6 +413,18 @@ def make_pallas_lm(
                     stride //= window_shape[d]
                     off.append(((ids // stride) % window_shape[d])
                                .astype(jnp.float32))
+            return ids, off
+
+        def chunk_geom(c0):
+            """Offsets + fit mask for pixel slice [c0, c0+CL) — no pixel
+            read, so an all-empty chunk can be skipped BEFORE its DMA.
+
+            The mask matches ops/gather.py::radius_mask: 1.0 where the
+            pixel lies within the (ellipsoidal) radius of ANY feature at
+            its gather-time position, 0.0 outside and on the padded
+            chunk tail.
+            """
+            ids, off = chunk_off(c0)
             inside = None
             for i in range(n):
                 r2m = None
@@ -436,47 +462,72 @@ def make_pallas_lm(
                 rows.append(r)
             return jnp.concatenate(rows, axis=0)
 
-        def chunk_eval(x, pixc, maskc, off, with_jac):
-            """Residual (and J rows) for one pixel chunk.
+        def sweep_consts(x):
+            """[1, TB] rows that depend on x but not the pixel chunk.
 
-            Chunking bounds the VMEM working set: only [CL, TB] fields are
-            live, so any window size fits (see _pick_chunk)."""
-            wc = maskc * inv_norm                    # [CL, TB]
-            img = jnp.broadcast_to(prow(x, 0, bg_p), wc.shape)
-            Jrows = [None] * Vk if with_jac else None
-
-            def add(v, contrib):
-                if Jrows[v] is None:
-                    Jrows[v] = contrib
-                else:
-                    Jrows[v] = Jrows[v] + contrib
-
-            # background: one shared slot, dI/dbg = 1 (added once, not per
-            # feature — the model has a single background per cluster)
-            if with_jac and slot_idx[0, bg_p] >= 0:
-                add(krow(int(slot_idx[0, bg_p])), wc)
-
-            if rigid and D == 2:
+            Hoisted out of the per-chunk loop: these used to be
+            recomputed inside every chunk of every accumulate sweep (the
+            3D Rodrigues + right-Jacobian block alone is ~700 row ops);
+            they are pure per-lane algebra, so computing them once per
+            sweep is bit-identical."""
+            pc = {"bg": prow(x, 0, bg_p)}
+            pc["sig"] = [prow(x, i, sig_p) * fv[i] for i in range(n)]
+            pc["ex"] = [
+                [prow(x, i, p) for p in extra_p] for i in range(n)
+            ]
+            pc["sizes"] = [
+                [prow(x, i, p) for p in size_p] for i in range(n)
+            ]
+            if not rigid:
+                pc["rels"] = [
+                    [prow(x, i, pos_p[d]) - _row(org, d)
+                     for d in range(D)]
+                    for i in range(n)
+                ]
+                return pc
+            if D == 2:
                 # pose rows: positions are center + R_c·(sin, cos)(θ+αᵢ)
                 # — constraints.py::pose_to_positions inlined (2D n-gon)
                 cy, cx, th = _row(x, 0), _row(x, 1), _row(x, 2)
                 Rc = circ * (_row(x, dist_row) if fit_dist else fixed_dist)
-            elif rigid and n == 2:
+                pc["Rc"] = Rc
+                pc["sc"] = [
+                    (jnp.sin(th + alphas[i]), jnp.cos(th + alphas[i]))
+                    for i in range(n)
+                ]
+                pc["rels"] = [
+                    [cy + Rc * pc["sc"][i][0] - _row(org, 0),
+                     cx + Rc * pc["sc"][i][1] - _row(org, 1)]
+                    for i in range(n)
+                ]
+                return pc
+            cz, cy, cx = _row(x, 0), _row(x, 1), _row(x, 2)
+            Rc = circ * (_row(x, dist_row) if fit_dist else fixed_dist)
+            pc["Rc"] = Rc
+            if n == 2:
                 # 3D dimer axis pose: positions = center ± R_c·u with
                 # u = (cosθ, sinθ·sinφ, sinθ·cosφ) in (z, y, x) —
                 # constraints.py::pose_to_positions (n=2, 3D) inlined
-                cz, cy, cx = _row(x, 0), _row(x, 1), _row(x, 2)
                 th3, ph3 = _row(x, 3), _row(x, 4)
-                Rc = circ * (_row(x, dist_row) if fit_dist else fixed_dist)
                 sth, cth = jnp.sin(th3), jnp.cos(th3)
                 sph, cph = jnp.sin(ph3), jnp.cos(ph3)
                 u3 = (cth, sth * sph, sth * cph)
                 # ∂u/∂θ and ∂u/∂φ (closed form)
-                du_dth = (-sth, cth * sph, cth * cph)
-                du_dph = (
+                pc["u3"] = u3
+                pc["du_dth"] = (-sth, cth * sph, cth * cph)
+                pc["du_dph"] = (
                     jnp.zeros_like(sth), sth * cph, -sth * sph
                 )
-            elif rigid:
+                pc["rels"] = [
+                    [
+                        cz + sgn * Rc * u3[0] - _row(org, 0),
+                        cy + sgn * Rc * u3[1] - _row(org, 1),
+                        cx + sgn * Rc * u3[2] - _row(org, 2),
+                    ]
+                    for sgn in (1.0, -1.0)
+                ]
+                return pc
+            if True:
                 # 3D rotation-vector pose (trimer/tetramer/n-gon):
                 # pos_i = center + R_c·R(v)·b_i with R via Rodrigues;
                 # ∂(R b)/∂v = −R·[b]×·J_r(v), J_r the SO(3) right
@@ -484,8 +535,6 @@ def make_pallas_lm(
                 # constraints.py::pose_to_positions to f32 eps).  All
                 # 3×3 matrices live as [1, TB] rows — pure VPU algebra,
                 # mirrors constraints.py::_rodrigues component order.
-                cz, cy, cx = _row(x, 0), _row(x, 1), _row(x, 2)
-                Rc = circ * (_row(x, dist_row) if fit_dist else fixed_dist)
                 v3 = [_row(x, 3), _row(x, 4), _row(x, 5)]
                 th2 = v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2]
                 theta = jnp.sqrt(jnp.maximum(th2, 1e-24))
@@ -557,36 +606,61 @@ def make_pallas_lm(
                         ]
                         for a in range(3)
                     ])
+            pc["Rb3"] = Rb3
+            pc["M3"] = M3
+            pc["rels"] = [
+                [
+                    cz + Rc * Rb3[i][0] - _row(org, 0),
+                    cy + Rc * Rb3[i][1] - _row(org, 1),
+                    cx + Rc * Rb3[i][2] - _row(org, 2),
+                ]
+                for i in range(n)
+            ]
+            return pc
+
+        def chunk_eval(x, pc, pixc, maskc, off, with_jac):
+            """Residual (and J rows) for one pixel chunk.
+
+            Chunking bounds the VMEM working set: only [CL, TB] fields
+            are live, so any window size fits (see _pick_chunk).  ``pc``
+            holds the per-sweep [1, TB] constants from sweep_consts."""
+            wc = maskc * inv_norm                    # [CL, TB]
+            img = jnp.broadcast_to(pc["bg"], wc.shape)
+            Jrows = [None] * Vk if with_jac else None
+
+            def add(v, contrib):
+                if Jrows[v] is None:
+                    Jrows[v] = contrib
+                else:
+                    Jrows[v] = Jrows[v] + contrib
+
+            # background: one shared slot, dI/dbg = 1 (added once, not per
+            # feature — the model has a single background per cluster)
+            if with_jac and slot_idx[0, bg_p] >= 0:
+                add(krow(int(slot_idx[0, bg_p])), wc)
+            if rigid:
+                Rc = pc["Rc"]
+                if D == 2:
+                    pass
+                elif n == 2:
+                    u3 = pc["u3"]
+                    du_dth = pc["du_dth"]
+                    du_dph = pc["du_dph"]
+                else:
+                    Rb3, M3 = pc["Rb3"], pc["M3"]
 
             for i in range(n):
-                sig = prow(x, i, sig_p) * fv[i]
-                ex = [prow(x, i, p) for p in extra_p]
-                sizes = [prow(x, i, p) for p in size_p]
+                sig = pc["sig"][i]
+                ex = pc["ex"][i]
+                sizes = pc["sizes"][i]
+                rels = pc["rels"][i]
                 if rigid and D == 2:
-                    si = jnp.sin(th + alphas[i])
-                    ci = jnp.cos(th + alphas[i])
-                    rels = [cy + Rc * si - _row(org, 0),
-                            cx + Rc * ci - _row(org, 1)]
-                elif rigid and n == 2:
-                    sgn = 1.0 if i == 0 else -1.0
-                    rels = [
-                        cz + sgn * Rc * u3[0] - _row(org, 0),
-                        cy + sgn * Rc * u3[1] - _row(org, 1),
-                        cx + sgn * Rc * u3[2] - _row(org, 2),
-                    ]
-                elif rigid:
-                    rels = [
-                        cz + Rc * Rb3[i][0] - _row(org, 0),
-                        cy + Rc * Rb3[i][1] - _row(org, 1),
-                        cx + Rc * Rb3[i][2] - _row(org, 2),
-                    ]
+                    si, ci = pc["sc"][i]
                 dxs = []
                 r2 = None
                 for d in range(D):
                     s_d = sizes[0] if layout.isotropic else sizes[d]
-                    rel = rels[d] if rigid else (
-                        prow(x, i, pos_p[d]) - _row(org, d)
-                    )
+                    rel = rels[d]
                     dx = (off[d] - rel) / s_d               # [CL, TB]
                     dxs.append(dx)
                     r2 = dx * dx if r2 is None else r2 + dx * dx
@@ -701,12 +775,12 @@ def make_pallas_lm(
         NACC = 1 + Vk + len(tri)
         NACCp = -(-NACC // 8) * 8
 
-        def _chunk_rows(x, c0, with_jac, pixc, maskc, off):
+        def _chunk_rows(x, pc, c0, with_jac, pixc, maskc, off):
             """One chunk's contribution as a list of NACC [1, TB] rows."""
             if not with_jac:
-                r = chunk_eval(x, pixc, maskc, off, with_jac=False)
+                r = chunk_eval(x, pc, pixc, maskc, off, with_jac=False)
                 return [_rsum(r * r)]
-            r, Jrows = chunk_eval(x, pixc, maskc, off, with_jac=True)
+            r, Jrows = chunk_eval(x, pc, pixc, maskc, off, with_jac=True)
             rows = [_rsum(r * r)]
             rows += [_rsum(Jrows[v] * r) for v in range(Vk)]
             for u in range(Vk):
@@ -714,10 +788,24 @@ def make_pallas_lm(
                     rows.append(_rsum(Jrows[u] * Jrows[v]))
             return rows
 
+        def fill_mask():
+            """Write the fit mask into the resident scratch — once per
+            solve (it depends only on gather-time positions)."""
+            if n_chunks == 1:
+                mask_ref[:] = chunk_geom(0)[0]
+                return
+
+            def body(ci, carry):
+                mask_ref[pl.ds(ci * CL, CL), :] = chunk_geom(ci * CL)[0]
+                return carry
+
+            jax.lax.fori_loop(0, n_chunks, body, 0)
+
         def _accumulate(x, with_jac):
             n_rows = NACC if with_jac else 1
             n_pad = (NACCp if with_jac else 8) - n_rows
             TBk = norm.shape[1]
+            pc = sweep_consts(x)
 
             def pack(rows):
                 if n_pad > 0:  # 0-row vectors are invalid in Mosaic
@@ -732,12 +820,16 @@ def make_pallas_lm(
                 are mostly out-of-mask corner voxels (a 16³ tetramer box
                 is ~70% outside the union of spheres), so whole raveled
                 z-slabs drop out."""
-                maskc, off = chunk_geom(c0)
+                if mask_ref is not None:
+                    maskc = mask_ref[pl.ds(c0, CL), :]
+                else:
+                    maskc, _ = chunk_geom(c0)
 
                 def live():
+                    off = chunk_off(c0)[1]
                     return pack(
-                        _chunk_rows(x, c0, with_jac, pix_of_chunk(c0),
-                                    maskc, off)
+                        _chunk_rows(x, pc, c0, with_jac,
+                                    pix_of_chunk(c0), maskc, off)
                     )
 
                 def dead():
@@ -827,6 +919,8 @@ def make_pallas_lm(
 
         @pl.when(any_active)
         def _():
+            if mask_ref is not None:
+                fill_mask()
             acc0 = _accumulate(x0, with_jac=True)
             c0 = _row(acc0, 0)
 
@@ -923,7 +1017,9 @@ def make_pallas_lm(
 
             # masked-pixel count (for the caller's rms normalization;
             # chunk_geom needs no pixel DMA)
-            if n_chunks == 1:
+            if mask_ref is not None:
+                npix = _rsum(mask_ref[:])
+            elif n_chunks == 1:
                 npix = _rsum(chunk_geom(0)[0])
             else:
                 def np_body(ci, acc):
@@ -952,15 +1048,15 @@ def make_pallas_lm(
 
         if use_ctab:
             (vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
-             ctab_ref, xout_ref, stats_ref) = refs
+             ctab_ref, xout_ref, stats_ref, mask_scratch) = refs
         else:
             (vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
-             xout_ref, stats_ref) = refs
+             xout_ref, stats_ref, mask_scratch) = refs
             ctab_ref = None
         kernel_impl(
             lambda c0: pix_ref[pl.ds(c0, CL), :],
             vect_ref, cp_ref, pos_ref, org_ref, aux_ref,
-            xout_ref, stats_ref, ctab_ref,
+            xout_ref, stats_ref, ctab_ref, mask_scratch,
         )
 
     def kernel_stream(vect_ref, cp_ref, pix_hbm, pos_ref, org_ref,
@@ -1011,7 +1107,7 @@ def make_pallas_lm(
 
     def kernel_fused(sidx_ref, frames_ref, vect_ref, cp_ref, pos_ref,
                      org_ref, sub_ref, aux_ref, xout_ref, stats_ref,
-                     blk_scratch, pix_scratch, sems):
+                     blk_scratch, pix_scratch, sems, mask_scratch):
         """DMA-gather variant: aligned window-superset blocks are pulled
         straight from the frame stack in HBM — one DMA descriptor per
         lane, double-buffered across grid tiles so the scalar core issues
@@ -1095,7 +1191,7 @@ def make_pallas_lm(
         kernel_impl(
             lambda c0: pix_scratch[pl.ds(c0, CL), :],
             vect_ref, cp_ref, pos_ref, org_ref, aux_ref,
-            xout_ref, stats_ref,
+            xout_ref, stats_ref, None, mask_scratch,
         )
 
     def _compact_in(vect0):
@@ -1216,6 +1312,10 @@ def make_pallas_lm(
                     jax.ShapeDtypeStruct((Vk, Bpad), jnp.float32),
                     jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
                 ],
+                scratch_shapes=[
+                    # resident fit mask — filled once per solve
+                    pltpu.VMEM((Npix_pad, tile_b), jnp.float32),
+                ],
                 interpret=interpret,
             )(*ops)
 
@@ -1301,6 +1401,8 @@ def make_pallas_lm(
                 pltpu.VMEM((2, tile_b, _R_BLK, _W_BLK), jnp.float32),
                 pltpu.VMEM((Npix_pad, tile_b), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, tile_b)),
+                # resident fit mask — filled once per solve
+                pltpu.VMEM((Npix_pad, tile_b), jnp.float32),
             ],
         )
         xT, stats = pl.pallas_call(
