@@ -263,7 +263,7 @@ def _refine_with_recovery(
         f, reader, diameter, sep, t_column=t_column, mesh=mesh,
         **refine_kwargs,
     )
-    for _ in range(recover_passes):
+    for pass_idx in range(recover_passes):
         from scipy.spatial import cKDTree
 
         dup_r = 0.5 * float(min(locate_separation))
@@ -530,10 +530,17 @@ def _refine_with_recovery(
                 # above the residual noise floor, or the "improvement"
                 # is a Gaussian soaking a noise/imperfection blob (the
                 # pass-2 ghost leak: +101 ghosts for +0.35% coverage).
-                # Clusters with original members skip it — their blend
-                # evidence is the ratio test itself, and gating them
-                # rejects real recoveries (measured 90.5 → 87.3%).
-                if all_new else True
+                # On the FIRST pass, clusters with original members skip
+                # it — their blend evidence is the ratio test itself,
+                # and gating them rejects real recoveries (measured
+                # 90.5 → 87.3%).  On passes ≥2 the gate applies to ALL
+                # clusters: the real blends were recovered in pass 1, so
+                # a with-original cluster whose footprint rms already
+                # sits at the noise floor has nothing left to model —
+                # candidates there are fit-imperfection lobes (the
+                # measured pass-2 leak).  A genuinely still-missing
+                # partner keeps footprint rms ≫ noise and passes.
+                if (all_new or pass_idx > 0) else True
             )
             if (
                 np.isfinite(new_cost)

@@ -169,3 +169,13 @@ def test_dense_recovery_coverage():
     assert c1 > c0 + 0.05, (c0, c1)   # recovery buys real coverage
     assert c1 > 0.85, c1
     assert g1 <= max(2 * g0, 15), (g0, g1)  # ghosts stay controlled
+
+    # pass 2: the noise-evidence gate applies to ALL clusters on passes
+    # ≥2 (the real blends were recovered in pass 1 — residual lobes on
+    # already-fitted clusters are fit imperfection, the measured pass-2
+    # ghost leak), so a second pass must not flood ghosts nor lose the
+    # pass-1 coverage
+    out2 = ct.track(reader, recover_passes=2, **kw)
+    c2, g2 = cov(out2)
+    assert c2 >= c1 - 0.01, (c1, c2)
+    assert g2 <= g1 + max(g1 // 2, 5), (g1, g2)
