@@ -73,7 +73,16 @@ def _chol_solve_unrolled(A, g):
     return jnp.stack(x, axis=-1)
 
 
-_UNROLL_MAX_V = 40  # beyond this, unrolled op count outgrows batched LU
+# Unroll ceiling: the unrolled form inlines ~V^3/6 HLO ops INSIDE the
+# LM while_loop body, and XLA's compile time on that is superlinear —
+# measured on the axon compile server: V=24 took 184 s, V=36 took >35
+# MINUTES (the dense ladder-12 bucket solver compiled to a 96 MB
+# binary), while V=48 (past the old ceiling of 40, batched-library
+# path) compiled in seconds.  Above the ceiling, batched Cholesky +
+# triangular_solve (SPD — no pivoting) keeps the HLO compact; runtime
+# stays MXU/J-sweep-bound there (V=48 probe: 1,383 solves/s vs the
+# pallas kernel's 9.4 — benchmarks/probe_vmem.py).
+_UNROLL_MAX_V = 20
 
 
 def _damped_solve(H, g, lam):
@@ -87,7 +96,18 @@ def _damped_solve(H, g, lam):
     A = A + 1e-10 * jnp.eye(H.shape[-1], dtype=H.dtype)
     if H.shape[-1] <= _UNROLL_MAX_V:
         return -_chol_solve_unrolled(A, g)
-    return -jnp.linalg.solve(A, g[..., None])[..., 0]
+    # batched SPD solve via the library Cholesky: compact HLO (the
+    # unrolled form's compile time explodes past ~V=20, see
+    # _UNROLL_MAX_V) and no LU pivoting overhead.  A non-SPD A yields
+    # NaN rows -> the trial cost is NaN -> the step is rejected and
+    # damping grows, exactly like the unrolled form's clamped sqrt.
+    L = jnp.linalg.cholesky(A)
+    y = jax.lax.linalg.triangular_solve(
+        L, -g[..., None], left_side=True, lower=True
+    )
+    return jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )[..., 0]
 
 
 def lm_solve(

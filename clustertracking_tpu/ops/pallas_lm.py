@@ -66,18 +66,59 @@ _CHUNK_BUDGET = 6 * 1024 * 1024  # chunk temporaries' share
 _MAX_KERNEL_SLOTS = 50
 
 
+def _scoped_demand(n_slots: int, chunk: int, resident_rows: int,
+                   tile_b: int = 128) -> int:
+    """Calibrated model of Mosaic's scoped-vmem (stack) demand, bytes.
+
+    The dominant term is NOT the chunk temporaries (Mosaic recycles the
+    fori_loop body's registers — measured: CL 208 → 96 moved demand by
+    only 0.34M) but ~12 live copies of the Hessian upper triangle + the
+    packed accumulator that the LM while_loop carries (acc0, carry
+    in/out, trial, accept-select pairs).  Fit on v5e hardware OOM
+    reports / compiles (see benchmarks/probe_vmem.py):
+
+      Vk=48 Npix=3200 CL=208 resident: pred 18.77M  meas 18.74M (OOM)
+      Vk=48 Npix=3200 CL=96  resident: pred 18.44M  meas 18.40M (OOM)
+      Vk=48 Npix=3200 CL=200 stream:   pred 15.39M  compiles
+      Vk=60          CL=168 stream:    pred 23.0M   meas 21.55M (OOM)
+      Vk=14 Npix=4136 CL=384 res+mask: pred  6.1M   compiles, full rate
+
+    ``resident_rows`` counts [*, tile_b] f32 rows held resident for the
+    whole solve (pixel block + mask scratch + DMA/window scratch).
+    """
+    tri = n_slots * (n_slots + 1) // 2
+    nacc = -(-(1 + n_slots + tri) // 8) * 8
+    rows = 12 * (tri + nacc) + resident_rows + ((n_slots + 10) * chunk) // 10
+    return rows * tile_b * 4
+
+
+# Acceptance bounds under the hard 16.00M scoped-vmem limit.  Resident
+# predictions above were exact to ±0.04M → 1.5M slack; the streaming
+# prediction overestimated the one hard case by 1.5M and the known-good
+# stream shape (Vk=48, the dense ladder-16 recovery bucket) sits at
+# 15.39M predicted / compiles on hardware, so its bound admits it.
+_RES_SAFE = int(14.5 * 1024 * 1024)
+_STREAM_SAFE = int(15.7 * 1024 * 1024)
+
+
 def _pick_chunk(n_slots: int, npix: int) -> int:
     """Pixel-chunk length (multiple of 8) whose temporaries fit VMEM.
 
     Per chunk ≈ (V Jacobian rows + ~10 geometry/profile temporaries) ×
-    [chunk, 128] f32; plus 2 resident [Npix, 128] inputs.  Returns 0
-    when the RESIDENT pixel input itself exceeds VMEM — the caller then
-    switches to the HBM-streaming variant (_pick_chunk_stream).
+    [chunk, 128] f32; plus 2 resident [Npix, 128] inputs (pixel block +
+    the resident fit mask).  Returns 0 when the resident inputs exceed
+    VMEM or the modeled scoped-vmem demand (_scoped_demand) exceeds
+    _RES_SAFE — the caller then switches to the HBM-streaming variant
+    (_pick_chunk_stream).
     """
     if n_slots > _MAX_KERNEL_SLOTS:
         return 0
+    # pixels + the resident fit mask both occupy [Npix, 128] f32; they
+    # must fit alongside one chunk's temporaries (_CHUNK_BUDGET), so the
+    # resident-path gate is ~6k voxels — larger windows stream from HBM
+    # (_pick_chunk_stream), which stays compute-bound (~22 flops/byte)
     resident = 2 * npix * 128 * 4
-    if resident > _VMEM_BUDGET - 512 * 1024:
+    if resident > _VMEM_BUDGET - _CHUNK_BUDGET:
         return 0
     per_row = (n_slots + 10) * 128 * 4
     chunk = min(int(_CHUNK_BUDGET - 0) // per_row, npix)
@@ -91,7 +132,13 @@ def _pick_chunk(n_slots: int, npix: int) -> int:
     if chunk < npix:
         chunk = min(chunk, 384)
     chunk = (chunk // 8) * 8
-    return max(chunk, 0)
+    if chunk <= 0:
+        return 0
+    # High-slot buckets (dense ladder chains): the Hessian-carry term
+    # alone can blow the 16M stack at ANY chunk length — stream instead
+    if _scoped_demand(n_slots, chunk, 2 * npix) > _RES_SAFE:
+        return 0
+    return chunk
 
 
 # Streamed windows are bandwidth-bound at ~Npix·B·4 bytes per LM sweep;
@@ -114,7 +161,13 @@ def _pick_chunk_stream(n_slots: int, npix: int) -> int:
     per_row = (n_slots + 10) * 128 * 4
     chunk = int(_CHUNK_BUDGET // (per_row + 2 * 128 * 4))
     chunk = min((chunk // 8) * 8, -(-npix // 8) * 8)
-    return max(chunk, 0)
+    if chunk <= 0:
+        return 0
+    # nothing resident, but the Hessian-carry stack term still applies
+    # (V=60: 21.55M measured, streaming too) — past it, the XLA path
+    if _scoped_demand(n_slots, chunk, 0) > _STREAM_SAFE:
+        return 0
+    return chunk
 
 
 def _rigid_kernel_slots(layout: ParamLayout, constraint):
@@ -166,6 +219,22 @@ def _rigid_supported(layout: ParamLayout, constraint) -> bool:
     )
 
 
+# MXU crossover: the kernel's lane-major layout accumulates the
+# Hessian as Vk(Vk+1)/2 VPU row-reductions per pixel chunk, while the
+# XLA path's J^T J is an MXU matmul (~85 Tflop/s f32 measured vs ~2.5
+# Tflop/s VPU).  Measured on v5e, identical problems, same iterates
+# (benchmarks/probe_vmem.py, gauss chains, 20 LM iters):
+#     Vk=24: kernel    84.6 solves/s   XLA  2,590/s   (31x)
+#     Vk=48: kernel     9.4 solves/s   XLA  1,383/s   (147x)
+# while at small Vk the kernel wins (config 1, Vk=6: 2.7M/s; config 4,
+# Vk=14 3D aniso: 145.6k/s — mostly-dead 3D windows ride the kernel's
+# dead-chunk skip, which XLA lacks).  Unconstrained buckets at/above
+# the threshold route to ops/lm.py; rigid buckets keep the kernel —
+# pose compaction keeps their Vk far below it and the XLA rigid path
+# is gather-bound (~5k/s measured round 2).
+_MXU_CROSSOVER_SLOTS = 20
+
+
 def pallas_available(model: ModelSpec, layout: ParamLayout,
                      use_global: bool, constraint,
                      window_shape=None) -> bool:
@@ -173,8 +242,10 @@ def pallas_available(model: ModelSpec, layout: ParamLayout,
 
     Not covered (falls back to ops/lm.py): cross-lane-tied 'global' slots
     (need a cross-tile reduction), generic penalty constraints,
-    zero-slot layouts, and windows beyond the streaming cap (~64³
-    voxels).  Windows whose pixels exceed resident VMEM stream from HBM
+    zero-slot layouts, unconstrained buckets past the MXU crossover
+    (_MXU_CROSSOVER_SLOTS — the XLA path's matmul J^T J is faster
+    there), and windows beyond the streaming cap (~64³ voxels).
+    Windows whose pixels exceed resident VMEM stream from HBM
     chunk-by-chunk instead of being rejected (VERDICT r2 item 2).
     """
     if use_global or layout.n_slots == 0:
@@ -185,6 +256,8 @@ def pallas_available(model: ModelSpec, layout: ParamLayout,
             return False
         _, keep, _, _ = _rigid_kernel_slots(layout, constraint)
         n_slots = len(keep)
+    elif n_slots >= _MXU_CROSSOVER_SLOTS:
+        return False
     if window_shape is not None:
         npix = int(np.prod(window_shape))
         if (_pick_chunk(n_slots, npix) == 0
@@ -343,6 +416,15 @@ def make_pallas_lm(
         _ctab_np[:Npix, 0] = _packed
     else:
         _perm = _ctab_np = None
+    # Resident-mask eligibility: the calibrated scoped-vmem model
+    # (_scoped_demand), counting the pixel input block + the mask
+    # scratch resident, must clear _RES_SAFE at the ACTUAL tile width.
+    # _pick_chunk already applied the same test at tile_b=128, so for
+    # default tiles this is a recheck; ineligible buckets keep the
+    # per-chunk mask recompute (the round-2 behavior).
+    mask_res_plain = (not streaming) and _scoped_demand(
+        Vk, CL, 2 * Npix_pad, tile_b
+    ) <= _RES_SAFE
     n_extra = len(model.extra_params)
     extra_p = tuple(layout.param_names.index(nm) for nm in model.extra_params)
     pos_p = layout.pos_param_idx
@@ -1016,8 +1098,23 @@ def make_pallas_lm(
             _, xp, s, _ = jax.lax.while_loop(cond, body, init)
 
             # masked-pixel count (for the caller's rms normalization;
-            # chunk_geom needs no pixel DMA)
-            if mask_ref is not None:
+            # chunk_geom needs no pixel DMA).  Chunked even with the
+            # resident mask: one whole-[Npix_pad, TB] read materializes
+            # on the Mosaic stack (measured +~Npix_pad·TB·4 scoped).
+            if mask_ref is not None and n_chunks > 1:
+                def np_body(ci, acc):
+                    m = _rsum(mask_ref[pl.ds(ci * CL, CL), :])
+                    return acc + jnp.concatenate(
+                        [m, jnp.zeros((7, TB), jnp.float32)], axis=0
+                    )
+                npix = _row(
+                    jax.lax.fori_loop(
+                        0, n_chunks, np_body,
+                        jnp.zeros((8, TB), jnp.float32),
+                    ),
+                    0,
+                )
+            elif mask_ref is not None:
                 npix = _rsum(mask_ref[:])
             elif n_chunks == 1:
                 npix = _rsum(chunk_geom(0)[0])
@@ -1046,6 +1143,8 @@ def make_pallas_lm(
     def kernel(*refs):
         from jax.experimental import pallas as pl
 
+        if not mask_res_plain:
+            refs = refs + (None,)
         if use_ctab:
             (vect_ref, cp_ref, pix_ref, pos_ref, org_ref, aux_ref,
              ctab_ref, xout_ref, stats_ref, mask_scratch) = refs
@@ -1104,10 +1203,16 @@ def make_pallas_lm(
             _W_BLK = min(_W_BLK, -(-frame_shape[1] // 128) * 128)
     else:
         _R_BLK = _W_BLK = 0
+    # fused-gather variant: resident = repacked-window scratch + mask
+    # scratch + the double-buffered DMA landing blocks (no pixel input
+    # block — frames stay in HBM)
+    mask_res_fused = _scoped_demand(
+        Vk, CL, 2 * Npix_pad + 2 * _R_BLK * _W_BLK, tile_b
+    ) <= _RES_SAFE
 
     def kernel_fused(sidx_ref, frames_ref, vect_ref, cp_ref, pos_ref,
                      org_ref, sub_ref, aux_ref, xout_ref, stats_ref,
-                     blk_scratch, pix_scratch, sems, mask_scratch):
+                     blk_scratch, pix_scratch, sems, mask_scratch=None):
         """DMA-gather variant: aligned window-superset blocks are pulled
         straight from the frame stack in HBM — one DMA descriptor per
         lane, double-buffered across grid tiles so the scalar core issues
@@ -1312,10 +1417,11 @@ def make_pallas_lm(
                     jax.ShapeDtypeStruct((Vk, Bpad), jnp.float32),
                     jax.ShapeDtypeStruct((8, Bpad), jnp.float32),
                 ],
-                scratch_shapes=[
+                scratch_shapes=(
                     # resident fit mask — filled once per solve
-                    pltpu.VMEM((Npix_pad, tile_b), jnp.float32),
-                ],
+                    [pltpu.VMEM((Npix_pad, tile_b), jnp.float32)]
+                    if mask_res_plain else []
+                ),
                 interpret=interpret,
             )(*ops)
 
@@ -1401,9 +1507,11 @@ def make_pallas_lm(
                 pltpu.VMEM((2, tile_b, _R_BLK, _W_BLK), jnp.float32),
                 pltpu.VMEM((Npix_pad, tile_b), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, tile_b)),
+            ] + (
                 # resident fit mask — filled once per solve
-                pltpu.VMEM((Npix_pad, tile_b), jnp.float32),
-            ],
+                [pltpu.VMEM((Npix_pad, tile_b), jnp.float32)]
+                if mask_res_fused else []
+            ),
         )
         xT, stats = pl.pallas_call(
             kernel_fused,

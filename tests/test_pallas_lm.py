@@ -544,6 +544,48 @@ def test_pallas_available_streams_large_windows():
     assert not pallas_available(model, layout, False, None, (80, 80, 80))
 
 
+def test_scoped_vmem_gate_and_mxu_crossover_routing():
+    """High-slot buckets must never reach the kernel's failure modes.
+
+    (a) Scoped-vmem model: dense ladder-16 chains (Vk=48, ~3.2k-px bbox
+    windows, the shape the recovery pass produces at 10k features/frame)
+    blow Mosaic's 16M stack on the RESIDENT path at any chunk length
+    (measured 18.74M at CL=208 and 18.40M at CL=96 on v5e — the demand
+    is ~12 loop-carried copies of the Hessian triangle, not chunk
+    temporaries); the calibrated _scoped_demand model must reject
+    resident and keep streaming viable (it compiles on hardware).
+
+    (b) MXU crossover: even where the kernel compiles, the XLA path's
+    matmul J^T J crushes the VPU row-reduction at high slot counts
+    (measured Vk=24: 2,590 vs 84.6 solves/s; Vk=48: 1,383 vs 9.4 —
+    benchmarks/probe_vmem.py), so unconstrained buckets at Vk >= 20
+    route to ops/lm.py via pallas_available."""
+    from clustertracking_tpu.ops.pallas_lm import (
+        _pick_chunk, _pick_chunk_stream, _scoped_demand)
+
+    assert _pick_chunk(48, 3200) == 0          # resident would OOM
+    assert _pick_chunk_stream(48, 3200) > 0    # streaming compiles
+    assert _pick_chunk(50, 2000) == 0
+    assert _pick_chunk_stream(50, 2000) == 0   # past streaming too
+    # model reproduces the measured OOM reports to ~0.1M
+    assert abs(_scoped_demand(48, 208, 2 * 3200) - 18.74e6) < 2e5
+    assert abs(_scoped_demand(48, 96, 2 * 3200) - 18.40e6) < 2e5
+    # every shipped benchmark bucket keeps its resident path + chunk
+    for vk, npix, cl in [(6, 169, 168), (11, 4096, 384),
+                         (14, 1521, 384), (14, 4136, 384)]:
+        assert _pick_chunk(vk, npix) == cl, (vk, npix)
+
+    # (b): unconstrained chains of 8+ gauss features (Vk >= 24) go XLA;
+    # config-4-class (Vk=14) and small clusters stay on the kernel
+    model = get_model("gauss")
+    assert not pallas_available(
+        model, build_layout(model, 2, True, 8, {}), False, None)
+    assert pallas_available(
+        model, build_layout(model, 3, False, 2, {}), False, None)
+    assert pallas_available(
+        model, build_layout(model, 2, True, 4, {}), False, None)
+
+
 def test_pallas_3d_multichunk_ctab_matches_xla():
     """Unconstrained 3D multi-chunk path (center-out voxel ordering +
     per-chunk mask skip): refine via the kernel must match the XLA
