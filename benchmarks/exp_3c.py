@@ -8,6 +8,9 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+import jax  # noqa: E402
+
+
 from benchmarks.suite import _perturbed, _timed_reps  # noqa: E402
 
 
@@ -80,5 +83,7 @@ def run(noise=0.0, B=2048, reps=6, ftol=1.49e-8):
 
 
 if __name__ == "__main__":
+    from benchmarks.suite import enable_compile_cache
+    enable_compile_cache()
     for noise in [float(a) for a in (sys.argv[1:] or ["0", "2"])]:
         run(noise=noise)

@@ -15,6 +15,9 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
 from benchmarks.suite import _video  # noqa: E402
 
 
@@ -47,6 +50,8 @@ def score(out, truth, n_frames):
 
 
 def main():
+    from benchmarks.suite import enable_compile_cache
+    enable_compile_cache()
     import clustertracking_tpu as ct
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 4

@@ -25,7 +25,24 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")  # repo root
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache: every distinct jitted config costs
+    a 60-530 s axon compile; the cache makes re-runs and cross-script
+    reuse (suite <-> experiments) pay it once per machine.
+
+    Called from each benchmark's main(), NEVER at import: tests import
+    helpers from this module (e.g. _video) on the CPU backend, and a
+    shared cache dir mutated by a concurrent TPU benchmark process
+    segfaulted a CPU test mid-read (measured: jax compilation_cache
+    get_executable_and_time SIGSEGV while a TPU run was writing)."""
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 
 def _emit(rec):
@@ -438,6 +455,7 @@ CONFIGS = {
 
 
 def main():
+    enable_compile_cache()
     picks = sys.argv[1:] or sorted(CONFIGS)
     for k in picks:
         CONFIGS[str(k)]()
