@@ -222,3 +222,39 @@ def test_global_lane_iters_reflect_own_plateau(rng):
     # far lanes keep iterating well past lane 0's plateau
     assert it[0] < it[1:].min(), it
     assert np.asarray(res.converged).all()
+
+
+def test_damped_solve_library_matches_unrolled():
+    """Above _UNROLL_MAX_V the damped normal equations go through the
+    batched library Cholesky + triangular_solve (the unrolled form's
+    HLO op count explodes XLA compile time past ~V=20 — measured >35
+    min at V=36 on the TPU compile server).  Both branches must agree
+    to f32 accuracy on well-conditioned SPD systems."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from clustertracking_tpu.ops.lm import (
+        _UNROLL_MAX_V, _chol_solve_unrolled, _damped_solve)
+
+    assert _UNROLL_MAX_V < 24  # the ladder-8 bucket must take the
+    #                            library branch (compile-time guard)
+    rng = np.random.default_rng(0)
+    for V in (24, 36, 48):
+        M = rng.normal(size=(8, V, V)).astype(np.float32)
+        H = (M @ M.transpose(0, 2, 1)
+             + 0.5 * V * np.eye(V, dtype=np.float32))
+        g = rng.normal(size=(8, V)).astype(np.float32)
+        lam = jnp.full((8,), 1e-3, jnp.float32)
+        got = np.asarray(_damped_solve(jnp.asarray(H), jnp.asarray(g),
+                                       lam))
+        d = np.diagonal(H, axis1=-2, axis2=-1)
+        A = (H + (1e-3 * np.maximum(d, 1e-12))[:, None, :] * np.eye(V)
+             + 1e-10 * np.eye(V)).astype(np.float64)
+        ref = -np.linalg.solve(A, g[..., None].astype(np.float64))[..., 0]
+        denom = np.abs(ref).max()
+        assert np.abs(got - ref).max() / denom < 1e-4, V
+        # and the unrolled form agrees with the same reference (the two
+        # branches are interchangeable numerics-wise)
+        un = np.asarray(_chol_solve_unrolled(
+            jnp.asarray(A.astype(np.float32)), jnp.asarray(g)))
+        assert np.abs(-un - ref).max() / denom < 1e-4, V
