@@ -266,6 +266,7 @@ def _refine_with_recovery(
     for pass_idx in range(recover_passes):
         from scipy.spatial import cKDTree
 
+        t_pass = time.perf_counter()
         dup_r = 0.5 * float(min(locate_separation))
         on_top_r = _ON_TOP_FRAC * float(min(locate_separation))
         acc = f[f["cost"].notna()]
@@ -278,7 +279,14 @@ def _refine_with_recovery(
             frame_numbers, diameter, locate_separation, threshold,
             percentile, max_features, t_column,
         )
-        diagnostics.record_ledger(residual_candidates=len(new))
+        # per-stage walls ride in the ledger (summed over passes) so the
+        # recovery cost self-attributes: residual render + locate, host
+        # candidate prep, footprint reference, joint refit, accept gates
+        diagnostics.record_ledger(
+            residual_candidates=len(new),
+            recovery_locate_s=round(time.perf_counter() - t_pass, 4),
+        )
+        t_mark = time.perf_counter()
         if len(new):
             # drop residual candidates sitting ON TOP of an already
             # fitted feature (imperfect fits leave small residual peaks);
@@ -382,11 +390,26 @@ def _refine_with_recovery(
             if not len(orig_t) or not len(new_t):
                 continue
             tree = cKDTree(pos_np[orig_t])
+            # batched KD queries: the tree holds the ORIGINAL positions
+            # and each original fires at most one mirror, queried before
+            # it moves — so every per-candidate nearest-original lookup
+            # and every original's second-neighbor distance can be
+            # precomputed in two vectorized queries (the former per-j
+            # queries were ~1/3 of the measured dense prep wall)
+            dq, kq = tree.query(pos_np[new_t])
+            dq_of = dict(zip(new_t, dq))
+            kq_of = dict(zip(new_t, kq))
+            if len(orig_t) > 1:
+                d2o_all = tree.query(pos_np[orig_t], k=2)[0][:, 1]
+                d2o_of = dict(zip(orig_t, d2o_all))
+            # candidate positions never move, so redundant-lobe lookups
+            # around each mirrored original are ball queries on one tree
+            ctree = cKDTree(pos_np[new_t])
             # brightest candidates claim their blended partner first
             for j in new_t[np.argsort(-sig_np0[new_t])]:
                 if drop_dup[j]:
                     continue
-                d, k = tree.query(pos_np[j])
+                d, k = dq_of[j], kq_of[j]
                 o = orig_t[k]
                 if d > blend_r or o in used_orig:
                     continue
@@ -398,8 +421,7 @@ def _refine_with_recovery(
                 # degree of freedom it needs — mirroring each of the
                 # stack tears the cluster apart (measured: the clean
                 # merged-pair suite went 0.00 → 1.74 px)
-                d2o, _k2 = tree.query(pos_np[o], k=2)
-                if len(orig_t) > 1 and d2o[1] < max(dup_r, 1.0):
+                if len(orig_t) > 1 and d2o_of[o] < max(dup_r, 1.0):
                     continue
                 used_orig.add(o)
                 claiming.add(j)
@@ -407,10 +429,10 @@ def _refine_with_recovery(
                 half = 0.5 * sig_np0[o]
                 sig_np0[o] = half
                 sig_np0[j] = half
-                dd = np.linalg.norm(
-                    pos_np[new_t] - pos_np[o], axis=1
-                )
-                for j2 in new_t[dd < max(dup_r, 1.0)]:
+                for j2_idx in ctree.query_ball_point(
+                    pos_np[o], max(dup_r, 1.0)
+                ):
+                    j2 = new_t[j2_idx]
                     # never drop a candidate that fired a mirror: its
                     # original is already moved and needs it in the refit
                     if j2 != j and j2 not in claiming:
@@ -470,9 +492,17 @@ def _refine_with_recovery(
         ).to_numpy()
         rest = combined[~in_refit].copy()
         combined = combined[in_refit].reset_index(drop=True)
+        diagnostics.record_ledger(
+            recovery_prep_s=round(time.perf_counter() - t_mark, 4)
+        )
+        t_mark = time.perf_counter()
         old_ref, old_noise = _old_rms_on_footprint(
             combined, rreader, diameter, pos_columns, t_column,
         )
+        diagnostics.record_ledger(
+            recovery_footprint_s=round(time.perf_counter() - t_mark, 4)
+        )
+        t_mark = time.perf_counter()
         # the refit must not pre-reject large blended clusters on the
         # global max_rms_dev while our per-cluster accept below has the
         # statistically right reference — gate ourselves instead
@@ -482,6 +512,10 @@ def _refine_with_recovery(
             combined, reader, diameter, sep, t_column=t_column,
             mesh=mesh, **rk_refit,
         )
+        diagnostics.record_ledger(
+            recovery_refit_s=round(time.perf_counter() - t_mark, 4)
+        )
+        t_mark = time.perf_counter()
         if len(rest):
             # untouched rows keep every fitted output column from acc
             # (cost, flags, _std ...) — the pass never churns them
@@ -639,6 +673,9 @@ def _refine_with_recovery(
                     continue
                 gvals[drop_j] = True
         ghost = pd.Series(gvals, index=f.index)
+        diagnostics.record_ledger(
+            recovery_accept_s=round(time.perf_counter() - t_mark, 4)
+        )
         if ghost.any():
             # per-gate attribution so a dense-scale ledger explains
             # every pruned candidate (VERDICT r2 item 3's escape clause)
@@ -680,38 +717,70 @@ def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
         med_t = float(np.median(res))
         noise_t = 1.4826 * float(np.median(np.abs(res - med_t)))
         shape = np.asarray(res.shape)
-        for cid, gc in gt.groupby("cluster"):
-            pos = gc[pos_columns].to_numpy(dtype=float)   # [m, D]
-            lo = np.maximum(
-                np.floor(pos.min(axis=0) - radius).astype(int), 0
+        # Batched per cluster-SIZE group: the former per-cluster Python
+        # loop (meshgrid + mask per cluster) measured 4.4 s of a 13.3 s
+        # dense 4-frame run — the recovery pass's largest single cost.
+        # Every union-of-spheres mask pixel lies inside the cluster's
+        # bbox ± radius, so a fixed window of the group's max extent,
+        # clamped inside the frame, captures the IDENTICAL mask pixel
+        # set; the gather and mask then vectorize over the whole group.
+        cid_arr = gt["cluster"].to_numpy()
+        order = np.argsort(cid_arr, kind="stable")
+        cid_s = cid_arr[order]
+        pos_s = gt[pos_columns].to_numpy(dtype=float)[order]
+        sig_s = np.abs(gt["signal"].to_numpy(dtype=float))[order]
+        bounds = np.nonzero(np.diff(cid_s))[0] + 1
+        starts = np.concatenate([[0], bounds, [len(cid_s)]])
+        sizes = np.diff(starts)
+        for n in np.unique(sizes):
+            sel = np.nonzero(sizes == n)[0]
+            B = len(sel)
+            idx = starts[sel][:, None] + np.arange(n)[None, :]
+            pos = pos_s[idx]                          # [B, n, D]
+            cids = cid_s[starts[sel]]
+            norm = np.maximum(
+                sig_s[idx].max(axis=1), 1e-6
+            )                                         # [B]
+            lo = np.floor(pos.min(axis=1) - radius).astype(int)
+            hi = np.ceil(pos.max(axis=1) + radius).astype(int) + 1
+            W = tuple(
+                int(min(e, s))
+                for e, s in zip((hi - lo).max(axis=0), shape)
             )
-            hi = np.minimum(
-                np.ceil(pos.max(axis=0) + radius).astype(int) + 1, shape
+            o = np.clip(lo, 0, shape - np.asarray(W))  # [B, D]
+            # windows[b] = res[o[b,0]:o[b,0]+W[0], ...] via advanced
+            # indexing: one broadcasted index array per dim
+            ix = []
+            for d in range(ndim):
+                ar = o[:, d].reshape((B,) + (1,) * ndim) + np.arange(
+                    W[d]
+                ).reshape((1,) * (1 + d) + (-1,) + (1,) * (ndim - 1 - d))
+                ix.append(ar)
+            window = res[tuple(np.broadcast_arrays(*ix))]  # [B, *W]
+            # d² of each window pixel to its nearest member, in
+            # radius-normalized units; grid = o + offsets
+            d2 = None
+            for j in range(n):
+                d2_j = 0.0
+                for d in range(ndim):
+                    gd = ix[d] + 0.0                  # [B, ...broadcast]
+                    dd = (
+                        gd - pos[:, j, d].reshape((B,) + (1,) * ndim)
+                    ) / radius[d]
+                    d2_j = d2_j + dd * dd
+                d2 = d2_j if d2 is None else np.minimum(d2, d2_j)
+            mask = d2 <= 1.0                          # [B, *W]
+            red = tuple(range(1, 1 + ndim))
+            npx = mask.sum(axis=red)
+            ss = np.sum(
+                (window.astype(np.float64)) ** 2 * mask, axis=red
+            ) / np.maximum(norm, 1e-300) ** 2
+            rms = np.where(
+                npx > 0, np.sqrt(ss / np.maximum(npx, 1)), np.inf
             )
-            window = res[tuple(slice(a, b) for a, b in zip(lo, hi))]
-            grid = np.stack(
-                np.meshgrid(
-                    *[np.arange(a, b) for a, b in zip(lo, hi)],
-                    indexing="ij",
-                ),
-                axis=-1,
-            ).astype(float)                               # [*W, D]
-            d2 = np.min(
-                np.sum(
-                    ((grid[None] - pos[(slice(None),)
-                                       + (None,) * ndim]) / radius) ** 2,
-                    axis=-1,
-                ),
-                axis=0,
-            )
-            mask = d2 <= 1.0
-            npx = int(mask.sum())
-            norm = max(float(np.abs(gc["signal"]).max()), 1e-6)
-            out[int(cid)] = (
-                float(np.sqrt(np.sum((window[mask] / norm) ** 2) / npx))
-                if npx else np.inf
-            )
-            out_noise[int(cid)] = noise_t / norm
+            for k in range(B):
+                out[int(cids[k])] = float(rms[k])
+                out_noise[int(cids[k])] = noise_t / float(norm[k])
     return out, out_noise
 
 
@@ -776,6 +845,17 @@ class _ResidualReader:
 
         self._reader = reader
         self._model = get_model(fit_function)
+        # one residual per frame per pass: the accepted fits are fixed at
+        # construction, so the render is deterministic — and each pass
+        # reads every frame TWICE (residual locate, then the same-footprint
+        # rms reference).  Without the cache that second read re-rendered
+        # the full fitted model per frame (measured: the render is the
+        # recovery pass's single largest cost at dense scale).  Byte-capped:
+        # past the cap new frames are served uncached (both sweeps run in
+        # frame order, so partial LRU eviction would never hit anyway).
+        self._cache = {}
+        self._cache_bytes = 0
+        self._max_cache_bytes = 2 << 30
         ndim = len(pos_columns)
         aniso_cols = default_size_columns(ndim, False)
         size_cols = (
@@ -804,10 +884,15 @@ class _ResidualReader:
 
         from .ops.synth import render_frames
 
-        frame = self._reader[int(t)]
-        entry = self._by_frame.get(int(t))
+        t = int(t)
+        if t in self._cache:
+            return self._cache[t]
+        frame = self._reader[t]
+        entry = self._by_frame.get(t)
         if entry is None:
-            return jnp.asarray(frame, jnp.float32)
+            res = jnp.asarray(frame, jnp.float32)
+            self._store(t, res)
+            return res
         pos, sig, sizes, extras = entry
         shape = tuple(frame.shape)
         smax = float(sizes.max()) if sizes.size else 1.0
@@ -819,7 +904,14 @@ class _ResidualReader:
             pos, sig, sizes, fidx, 1, shape,
             fit_function=self._model, window=window, extras=extras,
         )[0]
-        return jnp.asarray(frame, jnp.float32) - rendered
+        res = jnp.asarray(frame, jnp.float32) - rendered
+        self._store(t, res)
+        return res
+
+    def _store(self, t, res):
+        if self._cache_bytes + res.nbytes <= self._max_cache_bytes:
+            self._cache[t] = res
+            self._cache_bytes += res.nbytes
 
 
 def _shrink_sizes(sizes, valid):
