@@ -151,7 +151,11 @@ def record_ledger(**counts) -> None:
         logger.debug("pipeline ledger (uncollected): %s", counts)
         return
     for k, v in counts.items():
-        c.ledger[k] = c.ledger.get(k, 0) + v
+        if isinstance(v, str):
+            # labels (e.g. the resolved link backend) overwrite
+            c.ledger[k] = v
+        else:
+            c.ledger[k] = c.ledger.get(k, 0) + v
 
 
 @contextlib.contextmanager

@@ -37,7 +37,7 @@ def link(
     memory: int = 0,
     pos_columns: Optional[list] = None,
     t_column: str = "frame",
-    backend: str = "host",
+    backend: Optional[str] = None,
     mesh=None,
 ) -> pd.DataFrame:
     """Assign a ``particle`` column linking features across frames.
@@ -55,15 +55,17 @@ def link(
     frame ranges, one per device; each device scans its range and
     trajectories stitch across the cuts (parallel/linking.py).  The only
     cross-device dependency in the whole pipeline (SURVEY.md §5).
+    Under ``mesh``, ``backend`` selects the in-shard linker ('auto',
+    'device', or 'device-binned'; 'host' is rejected).
+
+    ``backend=None`` (the default) means 'host' without a mesh and
+    'auto' with one.  The resolved choice is recorded in
+    ``out.attrs['link_backend']``.
     """
     if pos_columns is None:
         pos_columns = guess_pos_columns(f)
-    if mesh is not None:
-        if backend not in ("host", "auto", "device"):
-            raise ValueError(f"Unknown backend {backend!r}")
-        return _link_sharded_df(
-            f, search_range, memory, pos_columns, t_column, mesh
-        )
+    if backend is None:
+        backend = "auto" if mesh is not None else "host"
     if backend == "auto":
         kmax = int(f.groupby(t_column).size().max()) if len(f) else 0
         # dense frames route to the BINNED device linker (VERDICT r2
@@ -71,12 +73,33 @@ def link(
         # the host Hungarian past ~2k features/frame; the binned
         # variant's [K, 3^D·cell_cap] candidate graph does not
         backend = "device" if kmax <= 2048 else "device-binned"
+    if mesh is not None:
+        # backend routes WITHIN each shard (VERDICT r3 item 6): 'auto'
+        # above applies the same density threshold as the single-device
+        # path, so a dense video + mesh gets the binned candidate graph,
+        # never the [K, K·(memory+2)] dense auction matrix.  'host' has
+        # no sharded meaning — the host linker is inherently sequential.
+        if backend not in ("device", "device-binned"):
+            raise ValueError(
+                f"backend={backend!r} cannot run under mesh=; use "
+                "'auto', 'device' or 'device-binned'"
+            )
+        out = _link_sharded_df(
+            f, search_range, memory, pos_columns, t_column, mesh,
+            backend=backend,
+        )
+        out.attrs["link_backend"] = f"sharded:{backend}"
+        return out
     if backend == "device":
-        return _link_device(f, search_range, memory, pos_columns, t_column)
+        out = _link_device(f, search_range, memory, pos_columns, t_column)
+        out.attrs["link_backend"] = backend
+        return out
     if backend == "device-binned":
-        return _link_device(
+        out = _link_device(
             f, search_range, memory, pos_columns, t_column, binned=True
         )
+        out.attrs["link_backend"] = backend
+        return out
     if backend != "host":
         raise ValueError(f"Unknown backend {backend!r}")
     f = f.sort_values(t_column, kind="stable").copy()
@@ -89,7 +112,9 @@ def link(
         particle[idx] = linker.advance(int(t), positions_all[idx])
 
     f["particle"] = particle
-    return f.sort_index()
+    f = f.sort_index()
+    f.attrs["link_backend"] = "host"
+    return f
 
 
 class Linker:
@@ -284,7 +309,8 @@ def _link_device(f, search_range, memory, pos_columns, t_column,
     return f
 
 
-def _link_sharded_df(f, search_range, memory, pos_columns, t_column, mesh):
+def _link_sharded_df(f, search_range, memory, pos_columns, t_column, mesh,
+                     backend="auto"):
     """Frame-sharded linking over a device mesh (parallel/linking.py)."""
     from .parallel.linking import link_sharded
 
@@ -294,7 +320,8 @@ def _link_sharded_df(f, search_range, memory, pos_columns, t_column, mesh):
         return f
     positions, valid, slots = _pad_frames(f, pos_columns, t_column)
     parts = link_sharded(
-        positions, valid, float(search_range), int(memory), mesh=mesh
+        positions, valid, float(search_range), int(memory), mesh=mesh,
+        backend=backend,
     ).reshape(-1)
     f["particle"] = parts[slots]
     return f

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.link import link_on_device
+from ..ops.link import link_on_device, link_on_device_binned
 
 __all__ = ["link_sharded"]
 
@@ -60,6 +60,7 @@ def link_sharded(
     n_shards: Optional[int] = None,
     mesh=None,
     axis: str = "data",
+    backend: str = "auto",
 ):
     """Link [T, K, D] padded per-frame positions across an S-way split.
 
@@ -67,10 +68,18 @@ def link_sharded(
     device runs its own scan (data-parallel in frame ranges); otherwise
     the S scans run batched on one device.  Returns particle ids [T, K]
     (int64, -1 on padding), globally stitched.
+
+    ``backend``: 'device' runs the dense [K, K·(memory+2)] auction in
+    every shard; 'device-binned' the spatially binned variant (required
+    past ~2k features/frame — the dense matrix is the thing the binned
+    linker exists to avoid); 'auto' routes on K with the same threshold
+    as the single-device path (link.py).
     """
     positions = np.asarray(positions, np.float32)
     valid = np.asarray(valid, bool)
     T, K, D = positions.shape
+    if backend == "auto":
+        backend = "device" if K <= 2048 else "device-binned"
     if n_shards is None:
         n_shards = len(mesh.devices.reshape(-1)) if mesh is not None else 1
     S = int(n_shards)
@@ -84,8 +93,31 @@ def link_sharded(
     pos_s = positions.reshape(S, Ts, K, D)
     val_s = valid.reshape(S, Ts, K)
 
-    def one(p, v):
-        return link_on_device(p, v, float(search_range), int(memory))
+    if backend == "device-binned":
+        # global cell-grid bounds from the REAL rows (pads sit at 1e8),
+        # quantized to 64 px so same-sized videos share one jit; every
+        # shard uses the same static bounds, which vmap requires anyway
+        if valid.any():
+            real = positions.reshape(-1, D)[valid.reshape(-1)]
+        else:
+            real = np.zeros((1, D), np.float32)
+        bounds = tuple(
+            (
+                float(np.floor(real[:, d].min() / 64.0) * 64.0),
+                float(np.ceil((real[:, d].max() + 1) / 64.0) * 64.0),
+            )
+            for d in range(D)
+        )
+
+        def one(p, v):
+            return link_on_device_binned(
+                p, v, float(search_range), int(memory), bounds=bounds
+            )
+    elif backend == "device":
+        def one(p, v):
+            return link_on_device(p, v, float(search_range), int(memory))
+    else:
+        raise ValueError(f"Unknown sharded link backend {backend!r}")
 
     fn = jax.jit(jax.vmap(one))
     if mesh is not None:

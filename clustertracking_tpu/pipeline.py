@@ -42,6 +42,11 @@ _NOISE_EVIDENCE = 6.0
 # when set to a list, the likelihood accept appends
 # (joint_refit_rms, old_footprint_rms, n_candidates) per touched cluster
 _DEBUG_ACCEPT = None
+# shared byte cap for the device-resident frame caches
+# (_DeviceFrameCache and _ResidualReader) — together they bound the
+# pipeline's cache HBM at 2× this (ADVICE r3: the residual cache is
+# additionally dropped before each joint refit)
+_FRAME_CACHE_BYTES = 2 << 30
 
 __all__ = ["locate", "track"]
 
@@ -240,6 +245,7 @@ def track(
         find_s=round(t2 - t1, 4),
         fit_s=round(t3 - t2, 4),
         link_s=round(time.perf_counter() - t4, 4),
+        link_backend=out.attrs.get("link_backend", "?"),
     )
     return out
 
@@ -433,6 +439,12 @@ def _refine_with_recovery(
                     pos_np[o], max(dup_r, 1.0)
                 ):
                     j2 = new_t[j2_idx]
+                    # strict < (query_ball_point is a CLOSED ball; the
+                    # loop this vectorized used `dd < r` — ADVICE r3):
+                    # a candidate exactly AT the radius is kept
+                    if (np.sum((pos_np[j2] - pos_np[o]) ** 2)
+                            >= max(dup_r, 1.0) ** 2):
+                        continue
                     # never drop a candidate that fired a mirror: its
                     # original is already moved and needs it in the refit
                     if j2 != j and j2 not in claiming:
@@ -499,6 +511,11 @@ def _refine_with_recovery(
         old_ref, old_noise = _old_rms_on_footprint(
             combined, rreader, diameter, pos_columns, t_column,
         )
+        # the residual cache (≤2 GiB of device frames) is never read
+        # again this pass — release it before the device-heavy joint
+        # refit so its HBM does not stack on _DeviceFrameCache's during
+        # the refit's peak (ADVICE r3)
+        rreader.drop_cache()
         diagnostics.record_ledger(
             recovery_footprint_s=round(time.perf_counter() - t_mark, 4)
         )
@@ -733,54 +750,66 @@ def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
         starts = np.concatenate([[0], bounds, [len(cid_s)]])
         sizes = np.diff(starts)
         for n in np.unique(sizes):
-            sel = np.nonzero(sizes == n)[0]
-            B = len(sel)
-            idx = starts[sel][:, None] + np.arange(n)[None, :]
-            pos = pos_s[idx]                          # [B, n, D]
-            cids = cid_s[starts[sel]]
-            norm = np.maximum(
-                sig_s[idx].max(axis=1), 1e-6
-            )                                         # [B]
-            lo = np.floor(pos.min(axis=1) - radius).astype(int)
-            hi = np.ceil(pos.max(axis=1) + radius).astype(int) + 1
-            W = tuple(
-                int(min(e, s))
-                for e, s in zip((hi - lo).max(axis=0), shape)
-            )
-            o = np.clip(lo, 0, shape - np.asarray(W))  # [B, D]
-            # windows[b] = res[o[b,0]:o[b,0]+W[0], ...] via advanced
-            # indexing: one broadcasted index array per dim
-            ix = []
-            for d in range(ndim):
-                ar = o[:, d].reshape((B,) + (1,) * ndim) + np.arange(
-                    W[d]
-                ).reshape((1,) * (1 + d) + (-1,) + (1,) * (ndim - 1 - d))
-                ix.append(ar)
-            window = res[tuple(np.broadcast_arrays(*ix))]  # [B, *W]
-            # d² of each window pixel to its nearest member, in
-            # radius-normalized units; grid = o + offsets
-            d2 = None
-            for j in range(n):
-                d2_j = 0.0
+            sel_n = np.nonzero(sizes == n)[0]
+            idx_n = starts[sel_n][:, None] + np.arange(n)[None, :]
+            pos_n = pos_s[idx_n]                      # [Bn, n, D]
+            lo_n = np.floor(pos_n.min(axis=1) - radius).astype(int)
+            hi_n = np.ceil(pos_n.max(axis=1) + radius).astype(int) + 1
+            # sub-bucket by quantized window extent (ADVICE r3): one
+            # spatially spread cluster (members ~n·sep apart) must not
+            # inflate the [B, *W] gather of every compact cluster in the
+            # group — a host-memory spike at dense scale.  Quantizing to
+            # 8-px steps keeps the bucket count tiny on homogeneous
+            # scenes while isolating outliers in their own bucket.
+            q_n = np.minimum(-(-(hi_n - lo_n) // 8) * 8, shape)
+            for qrow in np.unique(q_n, axis=0):
+                sub = np.nonzero((q_n == qrow).all(axis=1))[0]
+                sel = sel_n[sub]
+                B = len(sel)
+                idx = idx_n[sub]
+                pos = pos_n[sub]                      # [B, n, D]
+                cids = cid_s[starts[sel]]
+                norm = np.maximum(
+                    sig_s[idx].max(axis=1), 1e-6
+                )                                     # [B]
+                lo = lo_n[sub]
+                W = tuple(int(min(e, s)) for e, s in zip(qrow, shape))
+                o = np.clip(lo, 0, shape - np.asarray(W))  # [B, D]
+                # windows[b] = res[o[b,0]:o[b,0]+W[0], ...] via advanced
+                # indexing: one broadcasted index array per dim
+                ix = []
                 for d in range(ndim):
-                    gd = ix[d] + 0.0                  # [B, ...broadcast]
-                    dd = (
-                        gd - pos[:, j, d].reshape((B,) + (1,) * ndim)
-                    ) / radius[d]
-                    d2_j = d2_j + dd * dd
-                d2 = d2_j if d2 is None else np.minimum(d2, d2_j)
-            mask = d2 <= 1.0                          # [B, *W]
-            red = tuple(range(1, 1 + ndim))
-            npx = mask.sum(axis=red)
-            ss = np.sum(
-                (window.astype(np.float64)) ** 2 * mask, axis=red
-            ) / np.maximum(norm, 1e-300) ** 2
-            rms = np.where(
-                npx > 0, np.sqrt(ss / np.maximum(npx, 1)), np.inf
-            )
-            for k in range(B):
-                out[int(cids[k])] = float(rms[k])
-                out_noise[int(cids[k])] = noise_t / float(norm[k])
+                    ar = o[:, d].reshape((B,) + (1,) * ndim) + np.arange(
+                        W[d]
+                    ).reshape(
+                        (1,) * (1 + d) + (-1,) + (1,) * (ndim - 1 - d)
+                    )
+                    ix.append(ar)
+                window = res[tuple(np.broadcast_arrays(*ix))]  # [B, *W]
+                # d² of each window pixel to its nearest member, in
+                # radius-normalized units; grid = o + offsets
+                d2 = None
+                for j in range(n):
+                    d2_j = 0.0
+                    for d in range(ndim):
+                        gd = ix[d] + 0.0              # [B, ...broadcast]
+                        dd = (
+                            gd - pos[:, j, d].reshape((B,) + (1,) * ndim)
+                        ) / radius[d]
+                        d2_j = d2_j + dd * dd
+                    d2 = d2_j if d2 is None else np.minimum(d2, d2_j)
+                mask = d2 <= 1.0                      # [B, *W]
+                red = tuple(range(1, 1 + ndim))
+                npx = mask.sum(axis=red)
+                ss = np.sum(
+                    (window.astype(np.float64)) ** 2 * mask, axis=red
+                ) / np.maximum(norm, 1e-300) ** 2
+                rms = np.where(
+                    npx > 0, np.sqrt(ss / np.maximum(npx, 1)), np.inf
+                )
+                for k in range(B):
+                    out[int(cids[k])] = float(rms[k])
+                    out_noise[int(cids[k])] = noise_t / float(norm[k])
     return out, out_noise
 
 
@@ -796,7 +825,7 @@ class _DeviceFrameCache:
     frames in order, so an LRU the size of two dispatch chunks suffices.
     """
 
-    def __init__(self, reader, max_bytes: int = 2 << 30,
+    def __init__(self, reader, max_bytes: int = _FRAME_CACHE_BYTES,
                  min_frames: int = 8):
         from collections import OrderedDict
 
@@ -855,7 +884,7 @@ class _ResidualReader:
         # frame order, so partial LRU eviction would never hit anyway).
         self._cache = {}
         self._cache_bytes = 0
-        self._max_cache_bytes = 2 << 30
+        self._max_cache_bytes = _FRAME_CACHE_BYTES
         ndim = len(pos_columns)
         aniso_cols = default_size_columns(ndim, False)
         size_cols = (
@@ -912,6 +941,11 @@ class _ResidualReader:
         if self._cache_bytes + res.nbytes <= self._max_cache_bytes:
             self._cache[t] = res
             self._cache_bytes += res.nbytes
+
+    def drop_cache(self):
+        """Release the cached residual frames (device HBM)."""
+        self._cache = {}
+        self._cache_bytes = 0
 
 
 def _shrink_sizes(sizes, valid):

@@ -260,3 +260,59 @@ def test_dimer_global_whole_video_single_distance():
     assert np.ptp(dists) < 1e-3, dists
     assert abs(float(np.mean(dists)) - true_d) < 0.05
     assert abs(out.attrs["global_dist"] - true_d) < 0.05
+
+
+def test_two_global_distance_constraints_coexist():
+    """VERDICT r3 item 8: EVERY dist_mode='global' constraint gets the
+    whole-video joint solve, not just the first — dimers and trimers
+    with two distinct true bond lengths must each recover their own,
+    and each joint refit touches only its own cluster-size's rows."""
+    from clustertracking_tpu.constraints import Constraint
+
+    rng = np.random.default_rng(12)
+    d_dimer, d_trimer = 5.0, 6.5
+    T = 2
+    frames = np.zeros((T, 128, 128), np.float32)
+    rows = []
+    for t in range(T):
+        for c in [(20, 20), (20, 100), (100, 60)]:
+            true = artificial.draw_cluster(
+                frames[t], c, size=2.5, separation=d_dimer, n=2,
+                signal=150.0, angle=rng.uniform(0, np.pi),
+            )
+            for p in true + rng.uniform(-0.3, 0.3, true.shape):
+                rows.append({"frame": t, "y": p[0], "x": p[1],
+                             "signal": 150.0})
+        for c in [(64, 24), (100, 110)]:
+            true = artificial.draw_cluster(
+                frames[t], c, size=2.5, separation=d_trimer, n=3,
+                signal=150.0, angle=rng.uniform(0, np.pi),
+            )
+            for p in true + rng.uniform(-0.3, 0.3, true.shape):
+                rows.append({"frame": t, "y": p[0], "x": p[1],
+                             "signal": 150.0})
+    f = pd.DataFrame(rows)
+    trimer_global = Constraint(
+        "rigid", 3, 2, None, dist_mode="global", name="trimer_global"
+    )
+    out = ct.refine_leastsq(
+        f, frames, diameter=9, separation=7.5,
+        constraints=[dimer_global(ndim=2), trimer_global],
+        param_val={"size": 2.5},
+    )
+    assert out["cost"].notna().all(), "fits rejected"
+    # each class recovered ITS OWN shared distance
+    gd = out.attrs["global_dists"]
+    assert abs(gd[2] - d_dimer) < 0.05, gd
+    assert abs(gd[3] - d_trimer) < 0.05, gd
+    p2 = out[out["cluster_size"] == 2][["y", "x"]].to_numpy()
+    p2 = p2.reshape(-1, 2, 2)
+    dist2 = np.linalg.norm(p2[:, 0] - p2[:, 1], axis=-1)
+    assert np.ptp(dist2) < 1e-3 and abs(dist2.mean() - d_dimer) < 0.05
+    p3 = out[out["cluster_size"] == 3][["y", "x"]].to_numpy()
+    p3 = p3.reshape(-1, 3, 2)
+    e3 = np.concatenate([
+        np.linalg.norm(p3[:, i] - p3[:, j], axis=-1)
+        for i, j in [(0, 1), (0, 2), (1, 2)]
+    ])
+    assert np.ptp(e3) < 1e-2 and abs(e3.mean() - d_trimer) < 0.05

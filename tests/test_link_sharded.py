@@ -82,6 +82,64 @@ def test_sharded_uneven_frames():
     )
 
 
+def test_sharded_dense_routes_to_binned():
+    """K>2048 dense frames under a mesh must take the BINNED in-shard
+    linker (VERDICT r3 item 6): the dense [K, K·(memory+2)] auction
+    matrix at K=4096, memory=0 would be 4096×8192 f32 per shard step —
+    the allocation the binned candidate graph exists to avoid — and the
+    partition must still match the single-scan result."""
+    rng = np.random.default_rng(7)
+    T, N = 8, 4096
+    # well-separated walkers on a large field so linking is unambiguous
+    gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+    start = np.stack(
+        [gy.ravel() * 10.0 + 5.0, gx.ravel() * 10.0 + 5.0], axis=-1
+    ).astype(np.float32)[:N]
+    pos = np.zeros((T, N, 2), np.float32)
+    pos[0] = start
+    for t in range(1, T):
+        pos[t] = pos[t - 1] + rng.normal(0, 0.3, (N, 2)).astype(np.float32)
+    valid = np.ones((T, N), bool)
+
+    mesh = make_mesh(jax.devices()[:4])
+    sharded = link_sharded(pos, valid, 3.0, 0, mesh=mesh)  # backend='auto'
+    from clustertracking_tpu.ops.link import link_on_device_binned
+
+    single = np.asarray(link_on_device_binned(
+        pos, valid, 3.0, 0,
+        bounds=((0.0, 640.0), (0.0, 640.0)),
+    ))
+    np.testing.assert_array_equal(
+        _canon(single, valid), _canon(sharded, valid)
+    )
+    assert len(np.unique(sharded[sharded >= 0])) == N
+
+
+def test_sharded_backend_honored_via_public_link():
+    """ct.link(f, mesh=..., backend='device-binned') runs the binned
+    in-shard linker and records it (link_backend attr + ledger)."""
+    import pandas as pd
+    import clustertracking_tpu as ct
+
+    pos, valid = _trajectories(T=16)
+    rows = []
+    for t in range(pos.shape[0]):
+        for k in range(pos.shape[1]):
+            rows.append({"frame": t, "y": pos[t, k, 0], "x": pos[t, k, 1]})
+    f = pd.DataFrame(rows)
+    mesh = make_mesh(jax.devices()[:4])
+    out_auto = ct.link(f, 3.0, mesh=mesh)
+    out_binned = ct.link(f, 3.0, mesh=mesh, backend="device-binned")
+    assert out_auto.attrs["link_backend"] == "sharded:device"
+    assert out_binned.attrs["link_backend"] == "sharded:device-binned"
+    # same partition either way
+    key = lambda o: o.groupby("particle")["frame"].count().sort_values()
+    assert out_auto["particle"].nunique() == pos.shape[1]
+    assert out_binned["particle"].nunique() == pos.shape[1]
+    with pytest.raises(ValueError):
+        ct.link(f, 3.0, mesh=mesh, backend="host")
+
+
 def test_contended_crossing_at_shard_boundary():
     """Two trajectories crossing AT the shard cut where greedy sorted-
     by-distance stitching and the Hungarian optimum differ (VERDICT r2
