@@ -416,9 +416,12 @@ def config5(n_frames=4, features_per_frame=10000):
     reader, truth = _video(
         n_frames, features_per_frame, (1024, 1024), 5.0, seed=5
     )
-    # link_backend 'auto' resolves to the host subnet-optimal linker at
-    # this density (K≈8000/frame): the device auction's dense cost
-    # matrix loses past K≈2000 (measured 5.6 s vs 0.6 s for 4 frames)
+    # link_backend 'auto' resolves to the DEVICE-BINNED linker at this
+    # density (K≈8000/frame > 2048, link.py routing): the dense device
+    # auction's [K, K·(memory+2)] cost matrix loses past K≈2000
+    # (measured 5.6 s vs 0.6 s host for 4 frames) but the binned
+    # candidate graph does not; the resolved backend and its wall ride
+    # in the ledger (link_backend, link_s)
     # separation > bond length (see config2 note); chains grow at this
     # density, so the bucket cap rises to keep clusters off the serial
     # scipy spill path.  24 covers every chain this video produces

@@ -35,7 +35,45 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["grey_dilation", "local_maxima", "local_maxima_topk",
-           "feature_sizes"]
+           "feature_sizes", "gaussian_blur"]
+
+
+@partial(jax.jit, static_argnames=("sigmas",))
+def gaussian_blur(stack, sigmas: Tuple[float, ...]):
+    """Separable Gaussian smoothing of a frame stack, on device.
+
+    The matched filter for locating Gaussian features in noise: peak
+    SNR improves by ~1/(2^{D/2}·||k||₂) (for sigma_k == feature sigma,
+    ≈2.8× in 2D at sigma 1.6), which is what lets the recovery pass see
+    residual lobes below the raw-pixel noise gate (VERDICT r4 detection
+    item).  Kernels are normalized (sum 1) and truncated at 3σ;
+    reflect padding keeps edge response flat.  One conv dispatch per
+    spatial axis over the whole [T, *S] stack.
+
+    stack:  [T, *S] f32
+    sigmas: per-spatial-axis smoothing σ in pixels (static)
+    """
+    out = stack.astype(jnp.float32)
+    D = out.ndim - 1
+    for ax, sig in enumerate(sigmas):
+        if sig <= 0:
+            continue
+        r = max(1, int(np.ceil(3.0 * sig)))
+        x = np.arange(-r, r + 1, dtype=np.float32)
+        k = np.exp(-0.5 * (x / sig) ** 2)
+        k = jnp.asarray(k / k.sum())
+        axis = 1 + ax
+        moved = jnp.moveaxis(out, axis, -1)
+        lead = moved.shape[:-1]
+        n = moved.shape[-1]
+        flat = moved.reshape(-1, 1, n)
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (r, r)), mode="reflect")
+        conv = jax.lax.conv_general_dilated(
+            flat, k.reshape(1, 1, -1),
+            window_strides=(1,), padding="VALID",
+        )
+        out = jnp.moveaxis(conv.reshape(*lead, n), -1, axis)
+    return out
 
 
 def _candidate_mask(image, separation: Tuple[int, ...], threshold):

@@ -199,3 +199,67 @@ def test_locate_size_estimate_3d_aniso():
     # anisotropy direction and rough magnitude recovered
     assert est[0] > 1.3 * est[1], est
     assert np.all(np.abs(est - true_sz) < 0.35 * true_sz + 0.1), est
+
+
+def test_gaussian_blur_noise_reduction():
+    """Matched-filter building block: smoothing reduces white-noise std
+    by ~||k||2 and halves a matched feature's peak (2D)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from clustertracking_tpu import artificial
+    from clustertracking_tpu.ops.locate import gaussian_blur
+
+    rng = np.random.default_rng(0)
+    sigma = 1.6
+    noise = rng.normal(0, 1.0, (1, 128, 128)).astype(np.float32)
+    sm = np.asarray(gaussian_blur(jnp.asarray(noise), (sigma, sigma)))
+    # ||k||2 for a normalized 2D Gaussian ~ 1/(2*sqrt(pi)*sigma)
+    expect = 1.0 / (2.0 * np.sqrt(np.pi) * sigma)
+    assert abs(sm.std() / expect - 1.0) < 0.15, (sm.std(), expect)
+
+    img = np.zeros((1, 64, 64), np.float32)
+    artificial.draw_feature(img[0], (32.0, 32.0), sigma, 100.0)
+    smf = np.asarray(gaussian_blur(jnp.asarray(img), (sigma, sigma)))
+    assert abs(smf.max() / img.max() - 0.5) < 0.05
+
+
+def test_locate_matched_filter_finds_subgate_feature():
+    """A feature whose raw peak sits BELOW the 6-sigma MAD gate is found
+    by the matched-filter locate path and missed by the raw path."""
+    import numpy as np
+    import pandas as pd
+    from clustertracking_tpu import artificial
+    from clustertracking_tpu.pipeline import _locate_frames
+
+    rng = np.random.default_rng(3)
+    sigma, noise_std = 1.6, 2.0
+    img = np.zeros((128, 128), np.float32)
+    # raw gate is ~ med + 6*noise_std = 12; peak 8 is below it, but
+    # smoothed peak 8/2 = 4 clears the smoothed gate 6*2.0*0.176 ~ 2.1
+    artificial.draw_feature(img, (64.0, 64.0), sigma, 8.0)
+    img += rng.normal(0, noise_std, img.shape).astype(np.float32)
+
+    class R:
+        def __getitem__(self, t):
+            return img
+
+        def __len__(self):
+            return 1
+
+    kw = dict(diameter=9, locate_separation=(3, 3), threshold=None,
+              percentile=64, max_features=64, t_column="frame")
+    raw = _locate_frames(R(), [0], **kw)
+    mf = _locate_frames(R(), [0], match_sigma=sigma, **kw)
+
+    def hit(f):
+        if not len(f):
+            return False
+        d = np.hypot(f["y"] - 64.0, f["x"] - 64.0)
+        return bool((d < 1.5).min() < 1.5) and float(d.min()) < 1.5
+
+    assert hit(mf), mf
+    assert not hit(raw), raw
+    # amplitude rescale: recovered signal near the true peak value
+    d = np.hypot(mf["y"] - 64.0, mf["x"] - 64.0)
+    sig_est = float(mf.loc[d.idxmin(), "signal"])
+    assert 4.0 < sig_est < 14.0, sig_est
