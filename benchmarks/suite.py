@@ -116,11 +116,16 @@ def config1(B=8192, reps=6):
         )
     scipy_rate = n_base / (time.perf_counter() - t0)
     rate = B * reps / dt
+    from benchmarks.roofline import bench_annotation
     _emit({
         "config": 1, "metric": "dimer_lm_solves_per_sec_per_chip",
         "value": round(rate, 1), "unit": "clusters/s",
         "scipy_baseline": round(scipy_rate, 1),
         "vs_baseline": round(rate / scipy_rate, 1),
+        "roofline": bench_annotation(
+            rate, n=2, D=2, V=6, window=window,
+            iters=np.asarray(outs[-1][3]),
+        ),
     })
 
 
@@ -275,10 +280,18 @@ def config3(B=4096, reps=6):
         rms = np.asarray(outs[-1][1])
         assert np.isfinite(rms).all() and rms.mean() < 0.1, rms.mean()
         results[name] = round(B * reps / dt, 1)
+        from benchmarks.roofline import bench_annotation
+        results[name + "_roofline"] = bench_annotation(
+            B * reps / dt, n=n, D=2, V=layout.n_slots - 2 * n + 3,
+            window=window, iters=np.asarray(outs[-1][3]),
+            rigid=True, pose_slots=1,
+        )
     _emit({
         "config": 3, "metric": "constrained_lm_solves_per_sec_per_chip",
         "value": results["dimer"], "unit": "clusters/s",
         "dimer": results["dimer"], "trimer": results["trimer"],
+        "dimer_roofline": results["dimer_roofline"],
+        "trimer_roofline": results["trimer_roofline"],
     })
 
 
@@ -337,12 +350,22 @@ def config3c(B=2048, reps=6):
     rms = np.asarray(outs[-1][1])
     iters = np.asarray(outs[-1][3])
     assert np.isfinite(rms).all() and rms.mean() < 0.1, rms.mean()
+    from benchmarks.roofline import bench_annotation
+    centroid = params0[:, :, 2:5].mean(axis=1, keepdims=True)
+    rel = params0[:, :, 2:5] - (
+        centroid - (np.asarray(window, np.float32) - 1) / 2.0
+    )
     _emit({
         "config": "3c",
         "metric": "tetramer3d_lm_solves_per_sec_per_chip",
         "value": round(B * reps / dt, 1), "unit": "clusters/s",
         "mean_lm_iters": round(float(iters.mean()), 1),
         "voxels_per_window": int(np.prod(window)),
+        "roofline": bench_annotation(
+            B * reps / dt, n=4, D=3, V=10, window=window, iters=iters,
+            rigid=True, pose_slots=3, positions=rel,
+            radius=(3.5, 3.5, 3.5),
+        ),
     })
 
 
@@ -402,10 +425,20 @@ def config4(B=2048, reps=6):
     dt, outs = _timed_reps(solver, args_list)
     rms = np.asarray(outs[-1][1])
     assert np.isfinite(rms).all() and rms.mean() < 0.2, rms.mean()
+    from benchmarks.roofline import bench_annotation
+    centroid = params0[:, :, 2:5].mean(axis=1, keepdims=True)
+    rel = params0[:, :, 2:5] - (
+        centroid - (np.asarray(window, np.float32) - 1) / 2.0
+    )
     _emit({
         "config": 4, "metric": "aniso3d_lm_solves_per_sec_per_chip",
         "value": round(B * reps / dt, 1), "unit": "clusters/s",
         "voxels_per_window": int(np.prod(window)),
+        "roofline": bench_annotation(
+            B * reps / dt, n=2, D=3, V=14, window=window,
+            iters=np.asarray(outs[-1][3]), fit_size_slots=3,
+            positions=rel, radius=(3.0, 4.5, 4.5),
+        ),
     })
 
 

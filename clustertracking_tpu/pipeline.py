@@ -37,12 +37,19 @@ _ON_TOP_FRAC = 0.5
 # likelihood accept: the joint refit rms must beat the previous model's
 # same-footprint residual rms by this factor...
 _ACCEPT_RATIO = 0.8
+# shoulder-lobe gate: recovered candidates whose joint-refit signal is
+# below this fraction of the accepted population's median signal are
+# pruned (see the measured rationale at the gate site)
+_MIN_SIGNAL_FRAC = 0.25
 # ...and that old rms must exceed the residual noise floor by this
 # factor (evidence an unmodeled feature actually lives there)
 _NOISE_EVIDENCE = 6.0
 # when set to a list, the likelihood accept appends
 # (joint_refit_rms, old_footprint_rms, n_candidates) per touched cluster
 _DEBUG_ACCEPT = None
+# when True, surviving outputs carry a ``recovered_pass`` column (0 =
+# main fit, k = accepted by recovery pass k) for experiment attribution
+_TAG_RECOVERED = False
 # recovery-pass joint-refit iteration budget (None = uncapped, i.e. the
 # user's lm_max_iter/max_iter); see the rk_refit construction for the
 # measured rationale
@@ -589,6 +596,13 @@ def _refine_with_recovery(
         pre_vals = f[pre_cols].to_numpy()
         f = f.drop(columns=["_recovered", "_old_cost", "_acc_row",
                             *pre_cols])
+        if _TAG_RECOVERED:
+            prev = (f["recovered_pass"].to_numpy()
+                    if "recovered_pass" in f.columns
+                    else np.zeros(len(f), np.int32))
+            f["recovered_pass"] = np.where(
+                recovered_col, pass_idx + 1, prev
+            )
         # Likelihood-ratio accept (VERDICT r2 item 3), SAME-mask form:
         # a recovered candidate joins only if its cluster's joint refit
         # rms beats the PREVIOUS model's residual rms evaluated on the
@@ -610,10 +624,13 @@ def _refine_with_recovery(
             new_cost = costs[rows_c[0]]
             ref = old_ref.get(int(cid), np.nan)
             if _DEBUG_ACCEPT is not None:
-                _DEBUG_ACCEPT.append(
-                    (float(new_cost), float(ref),
-                     int(recovered_col[rows_c].sum()))
-                )
+                _DEBUG_ACCEPT.append({
+                    "cid": int(cid), "new_cost": float(new_cost),
+                    "ref": float(ref),
+                    "noise": float(old_noise.get(int(cid), 0.0)),
+                    "n_cand": int(recovered_col[rows_c].sum()),
+                    "all_new": bool(recovered_col[rows_c].all()),
+                })
             all_new = bool(recovered_col[rows_c].all())
             evidence_ok = (
                 ref > _NOISE_EVIDENCE * old_noise.get(int(cid), 0.0)
@@ -687,6 +704,27 @@ def _refine_with_recovery(
             f["cost"].notna() & (f["signal"] < sig_floor)
         )
         n_sig = int(ghost.sum()) - n_lr
+        # shoulder-lobe signal gate (RECOVERED rows only): a candidate
+        # the joint refit keeps but fits at a small fraction of the
+        # accepted population's signal is a fit-imperfection lobe on a
+        # real feature's shoulder, not a particle.  Measured (mini
+        # config-5, matched-filter pass 1): ghost recoveries fit to
+        # signal 10-51 vs a clean-recovery 5th percentile of 42 and a
+        # population median of 150; the cluster-level likelihood ratio
+        # cannot see them because a sibling REAL recovery in the same
+        # cluster buys the rms improvement.  0.25x median kills 16/20
+        # ghosts at a cost of ~2 dim-but-real recoveries.
+        n_lowsig = 0
+        if _MIN_SIGNAL_FRAC:
+            low = (
+                pd.Series(recovered_col, index=f.index)
+                & f["cost"].notna()
+                & (f["signal"] < _MIN_SIGNAL_FRAC
+                   * float(acc["signal"].median()))
+            )
+            before = int(ghost.sum())
+            ghost |= low
+            n_lowsig = int(ghost.sum()) - before
         # ...and a candidate the joint refit DRAGGED far from where the
         # residual locator saw it did not converge to the feature it was
         # evidence for — the fit repurposed it to soak up unrelated
@@ -741,9 +779,10 @@ def _refine_with_recovery(
                 ghosts_pruned=int(ghost.sum()),
                 recovery_rejected_likelihood=n_lr,
                 recovery_pruned_zero_signal=n_sig,
+                recovery_pruned_low_signal=n_lowsig,
                 recovery_pruned_displacement=n_disp,
                 recovery_pruned_duplicate=(
-                    int(ghost.sum()) - n_lr - n_sig - n_disp
+                    int(ghost.sum()) - n_lr - n_sig - n_lowsig - n_disp
                 ),
             )
             f = f[~ghost]

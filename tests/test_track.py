@@ -125,6 +125,7 @@ def test_recover_passes_finds_merged_features():
         assert led["ghosts_pruned"] == (
             led.get("recovery_rejected_likelihood", 0)
             + led.get("recovery_pruned_zero_signal", 0)
+            + led.get("recovery_pruned_low_signal", 0)
             + led.get("recovery_pruned_displacement", 0)
             + led.get("recovery_pruned_duplicate", 0)
         )
