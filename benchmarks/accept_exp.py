@@ -39,10 +39,16 @@ def main():
     for i in np.nonzero(rec)[0]:
         ghost_by_cid[cl[i]] = ghost_by_cid.get(cl[i], 0) + int(ghosts[i])
         surv_by_cid[cl[i]] = surv_by_cid.get(cl[i], 0) + 1
+    def _finite(v, nd):
+        # json.dumps emits bare NaN/Infinity tokens, which strict JSON
+        # parsers (jq, JSON.parse) reject — map non-finite to null.
+        v = float(v)
+        return round(v, nd) if np.isfinite(v) else None
+
     for r in dbg:
         ratio = r["new_cost"] / r["ref"] if r["ref"] else np.nan
         ev = r["ref"] / r["noise"] if r["noise"] else np.inf
-        r2 = dict(r, ratio=round(ratio, 3), evidence=round(ev, 2),
+        r2 = dict(r, ratio=_finite(ratio, 3), evidence=_finite(ev, 2),
                   survivors=surv_by_cid.get(r["cid"], 0),
                   ghosts=ghost_by_cid.get(r["cid"], 0))
         print(json.dumps(r2), flush=True)

@@ -47,12 +47,18 @@ scipy loop) has no roofline story at all; this module exists for
 SURVEY.md §5's "clusters/sec/chip ... must be first-class" requirement.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-PEAKS_CACHE = "/tmp/roofline_peaks.json"
+# Committed into the repo (VERDICT r4 item 2) so suite rows can be
+# annotated — and audited — without re-measuring on hardware.  A stale
+# /tmp cache from earlier rounds is honored as a fallback only.
+PEAKS_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "roofline_peaks.json")
+_PEAKS_CACHE_TMP = "/tmp/roofline_peaks.json"
 
 # VPU op-equivalents for non-arithmetic primitives (see module
 # docstring).  exp: range reduction + degree-~6 polynomial + scale
@@ -123,15 +129,39 @@ def kernel_lane_ops(V, D, n, rigid, sweeps):
     return sweeps * consts + max(sweeps - 1, 0) * chol
 
 
+def kernel_pixel_ops_residual(n, D, n_extra=0):
+    """Per-pixel op-equivalents of the RESIDUAL-ONLY initial sweep
+    (``_chunk_rows`` with ``with_jac=False``): model evaluation plus the
+    2-row (cost, weight) accumulator — no Jacobian rows, no Hessian
+    triangle.  Charging this sweep at the full with-Jacobian cost
+    overstates modeled work by ~(Jacobian share)/sweeps, which matters
+    for fast-converging configs (ADVICE r4)."""
+    per_feat = D * (1 + DIV_OPS)         # dx = (off - rel) / s_d
+    per_feat += 2 * D - 1                # r2 accumulation
+    per_feat += EXP_OPS                  # f = exp(...)  (gauss)
+    per_feat += 2                        # img += sig * f
+    per_feat += n_extra * 2
+    shared = 1.0 + 2.0                   # bg row; r = (img - pix) * wc
+    acc = 2.0 * 2                        # 2 accumulator rows
+    return n * per_feat + shared + acc
+
+
 def kernel_flops_per_solve(n, D, V, npix, sweeps, iso=True, rigid=False,
                            pose_slots=0, fit_dist=False,
                            fit_size_slots=0, n_extra=0,
                            chunk_live_frac=1.0):
-    """Total executed VPU op-equivalents for one cluster LM solve."""
+    """Total executed VPU op-equivalents for one cluster LM solve.
+
+    ``sweeps`` counts per-tile executed sweeps INCLUDING the initial
+    residual-only sweep; the remaining ``sweeps - 1`` carry the full
+    Jacobian + Hessian-triangle accumulator."""
     px = kernel_pixel_ops(n, D, V, iso, rigid, pose_slots, fit_dist,
                           fit_size_slots, n_extra)
+    px_res = kernel_pixel_ops_residual(n, D, n_extra)
+    wj_sweeps = max(sweeps - 1.0, 0.0)
     lane = kernel_lane_ops(V, D, n, rigid, sweeps)
-    return sweeps * npix * chunk_live_frac * px + lane
+    per_pix = wj_sweeps * px + min(sweeps, 1.0) * px_res
+    return npix * chunk_live_frac * per_pix + lane
 
 
 def xla_ladder_flops_per_solve(n, D, V, npix, sweeps):
@@ -171,20 +201,36 @@ def chunk_live_fraction(masks, chunk):
     return live / total if total else 1.0
 
 
-def annotate(rate, flops_per_solve, peaks, bound="vpu"):
-    """Roofline row: achieved op rate and % of the measured peak."""
+def annotate(rate, flops_per_solve, peaks, bound="vpu",
+             bytes_per_solve=None):
+    """Roofline row: achieved op rate and % of the measured peak.
+
+    For ``bound='hbm'`` the peak is in bytes/s, so the caller MUST pass
+    ``bytes_per_solve`` (bytes moved per solve) — dividing a flops
+    quantity by a bandwidth peak would be dimensionless nonsense
+    (ADVICE r4)."""
     key = {"vpu": "vpu_f32_tops", "mxu": "mxu_f32_highest_tflops",
            "hbm": "hbm_gbps"}[bound]
     peak = peaks.get(key)
-    achieved = rate * flops_per_solve
     out = {
         "model_flops_per_solve": round(flops_per_solve),
-        "achieved_tops": round(achieved / 1e12, 3),
+        "achieved_tops": round(rate * flops_per_solve / 1e12, 3),
         "bound": bound,
     }
+    if bound == "hbm":
+        if bytes_per_solve is None:
+            raise ValueError(
+                "bound='hbm' requires bytes_per_solve (bytes moved per "
+                "solve); flops cannot be scored against a bytes/s peak")
+        achieved = rate * bytes_per_solve
+        out["model_bytes_per_solve"] = round(bytes_per_solve)
+        out["achieved_gbps"] = round(achieved / 1e9, 1)
+        if peak:
+            out["pct_of_peak"] = round(100.0 * achieved / (peak * 1e9), 1)
+        return out
+    achieved = rate * flops_per_solve
     if peak:
-        scale = 1e12 if bound != "hbm" else 1e9
-        out["pct_of_peak"] = round(100.0 * achieved / (peak * scale), 1)
+        out["pct_of_peak"] = round(100.0 * achieved / (peak * 1e12), 1)
     return out
 
 
@@ -225,7 +271,8 @@ def bench_annotation(rate, n, D, V, window, iters, *, rigid=False,
     + ``radius`` enable the 3D dead-chunk discount via the kernel's own
     chunk size; omit for 2D (single live chunk).
     """
-    from clustertracking_tpu.ops.pallas_lm import _pick_chunk
+    from clustertracking_tpu.ops.pallas_lm import (_pick_chunk,
+                                                   _pick_chunk_stream)
 
     iters = np.asarray(iters, np.float32)
     pad = (-len(iters)) % 128
@@ -235,9 +282,15 @@ def bench_annotation(rate, n, D, V, window, iters, *, rigid=False,
     npix = int(np.prod(window))
     live = 1.0
     if positions is not None and D == 3:
-        chunk = _pick_chunk(V, npix)
-        masks = union_masks_center_out(positions, window, radius)
-        live = chunk_live_fraction(masks, chunk)
+        # _pick_chunk returns 0 for streaming-size windows (resident
+        # gate ~6k voxels); the streaming kernel skips dead chunks the
+        # same way, so fall back to its chunk size.  If BOTH gates
+        # return 0 the bucket runs on the XLA path, which executes
+        # every pixel — live stays 1.0 (ADVICE r4 medium).
+        chunk = _pick_chunk(V, npix) or _pick_chunk_stream(V, npix)
+        if chunk > 0:
+            masks = union_masks_center_out(positions, window, radius)
+            live = chunk_live_fraction(masks, chunk)
     flops = kernel_flops_per_solve(
         n, D, V, npix, sweeps, rigid=rigid, pose_slots=pose_slots,
         fit_dist=fit_dist, fit_size_slots=fit_size_slots,
@@ -251,11 +304,13 @@ def bench_annotation(rate, n, D, V, window, iters, *, rigid=False,
 
 
 def load_peaks():
-    try:
-        with open(PEAKS_CACHE) as fh:
-            return json.load(fh)
-    except OSError:
-        return {}
+    for path in (PEAKS_CACHE, _PEAKS_CACHE_TMP):
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except OSError:
+            continue
+    return {}
 
 
 # ---------------------------------------------------------------------------

@@ -263,3 +263,44 @@ def test_locate_matched_filter_finds_subgate_feature():
     d = np.hypot(mf["y"] - 64.0, mf["x"] - 64.0)
     sig_est = float(mf.loc[d.idxmin(), "signal"])
     assert 4.0 < sig_est < 14.0, sig_est
+
+
+def test_locate_polydisperse_sizes():
+    """Two size populations in ONE frame (sigma=1.5 and sigma=3) both
+    survive the robust size-shrink band (VERDICT r4 item 6): the former
+    hard +/-15%-of-median clip crushed a legitimate 2x spread, seeding
+    every big-population fit with a ~2x-wrong PSF width."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    import clustertracking_tpu as ct
+    from clustertracking_tpu import artificial
+
+    img = np.zeros((256, 256), np.float32)
+    rng = np.random.default_rng(7)
+    truth_pos, truth_size = [], []
+    k = 0
+    for y in range(24, 232, 28):
+        for x in range(24, 232, 28):
+            pos = (y + rng.uniform(-2, 2), x + rng.uniform(-2, 2))
+            size = 1.5 if k % 2 == 0 else 3.0
+            artificial.draw_feature(img, pos, size, 200.0)
+            truth_pos.append(pos)
+            truth_size.append(size)
+            k += 1
+    img += rng.normal(0, 2.0, img.shape).astype(np.float32)
+
+    f = ct.locate(img, diameter=15, separation=(9, 9), max_features=256)
+    assert len(f) >= 0.9 * len(truth_pos), len(f)
+    d, j = cKDTree(np.asarray(truth_pos)).query(
+        f[["y", "x"]].to_numpy(), k=1
+    )
+    ok = d < 2.0
+    assert ok.sum() >= 0.9 * len(truth_pos), ok.sum()
+    est = f["size"].to_numpy()[ok]
+    true = np.asarray(truth_size)[j[ok]]
+    med_small = float(np.median(est[true == 1.5]))
+    med_big = float(np.median(est[true == 3.0]))
+    # both modes recover near their own width, not the pooled median
+    assert 1.0 < med_small < 2.0, med_small
+    assert 2.4 < med_big < 3.8, med_big
