@@ -29,12 +29,48 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import logging
+import os
 import threading
 from typing import List, Optional
 
 logger = logging.getLogger("clustertracking_tpu")
 
-__all__ = ["BatchRecord", "StatsCollector", "collect", "stage", "trace_to"]
+__all__ = ["BatchRecord", "StatsCollector", "collect", "stage",
+           "trace_to", "debug_nans", "nan_debug_active"]
+
+# --------------------------------------------------------------------------
+# Non-finite trap (SURVEY.md §5 sanitizers row; VERDICT r4 item 9).
+#
+# By default a lane whose solve goes non-finite is a silently REJECTED
+# cluster (cost NaN, originals kept) — the right production semantics,
+# but for a user debugging a custom model dict it is silent data loss.
+# With the trap armed (``with ct.diagnostics.debug_nans(): ...`` or env
+# ``CT_TPU_DEBUG_NANS=1``), refine_leastsq raises FloatingPointError at
+# the first dispatch that produces a non-finite fit cost, naming the
+# bucket config (model, cluster size, window, backend), the offending
+# cluster, and whether the MODEL ITSELF is non-finite at the initial
+# parameters (the custom-dfun bug class) or the solve diverged.
+# --------------------------------------------------------------------------
+_NAN_DEBUG_ENV = os.environ.get("CT_TPU_DEBUG_NANS", "") not in ("", "0")
+
+
+def nan_debug_active() -> bool:
+    """True when the non-finite trap is armed (context or env var)."""
+    return getattr(_local, "nan_debug", _NAN_DEBUG_ENV)
+
+
+@contextlib.contextmanager
+def debug_nans(enabled: bool = True):
+    """Arm the non-finite trap on this thread for the enclosed block."""
+    prev = getattr(_local, "nan_debug", None)
+    _local.nan_debug = bool(enabled)
+    try:
+        yield
+    finally:
+        if prev is None:
+            del _local.nan_debug
+        else:
+            _local.nan_debug = prev
 
 
 @dataclasses.dataclass

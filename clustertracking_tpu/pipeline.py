@@ -20,7 +20,6 @@ import pandas as pd
 from . import diagnostics
 from .find import find_clusters
 from .link import link as _link
-from .ops.locate import grey_dilation
 from .refine import refine_leastsq
 from .utils import default_pos_columns, validate_tuple
 
@@ -81,68 +80,53 @@ def locate(
     percentile: float = 64.0,
     max_features: int = 4096,
     pos_columns: Optional[list] = None,
+    preprocess: Optional[str] = None,
+    noise_size=1.0,
+    threshold_tile: Optional[int] = None,
 ) -> pd.DataFrame:
     """Candidate features of one frame (integer-pixel local maxima).
 
     The trackpy.locate stand-in that seeds find_clusters; sub-pixel
-    refinement is refine_leastsq's job."""
+    refinement is refine_leastsq's job.
+
+    ``threshold=None`` uses a noise-robust default: the percentile rule
+    (trackpy's grey_dilation default) floored at median + 6 robust sigma
+    (MAD) of the frame, so sparse noisy frames don't admit thousands of
+    noise maxima.  Noiseless frames (MAD = 0) keep the exact percentile
+    behavior.
+
+    ``preprocess='bandpass'`` (VERDICT r4 item 5; trackpy.locate's
+    default pipeline): Gaussian-smooth at ``noise_size`` px, subtract a
+    diameter-scale boxcar background, clip at 0 — required for frames
+    with sloped/vignetted illumination, where thresholding RAW pixels
+    against a frame-global floor floods dim regions with false
+    candidates and starves bright ones.  ``threshold_tile`` (px)
+    additionally makes the default noise floor locally adaptive
+    (per-tile median+MAD map)."""
     image = np.asarray(image)
     ndim = image.ndim
-    diameter = validate_tuple(diameter, ndim)
+    if pos_columns is None:
+        pos_columns = default_pos_columns(ndim)
     if separation is None:
         separation = diameter
     separation = validate_tuple(separation, ndim)
-    if pos_columns is None:
-        pos_columns = default_pos_columns(ndim)
-    if threshold is None:
-        # Noise-robust default: the raw percentile rule (trackpy's
-        # grey_dilation default) sits at the background level on sparse
-        # noisy frames and accepts thousands of noise maxima; floor it at
-        # median + 6 robust sigma (MAD).  Noiseless images (MAD = 0) keep
-        # the exact percentile behavior.
-        med = float(np.median(image))
-        mad = float(np.median(np.abs(image - med)))
-        threshold = max(
-            float(np.percentile(image, percentile)),
-            med + 6.0 * 1.4826 * mad,
-        )
-    coords, vals, valid = grey_dilation(
-        image.astype(np.float32), separation,
-        percentile=percentile, max_features=max_features,
-        threshold=threshold,
-    )
-    ok = np.asarray(valid)
-    f = pd.DataFrame(
-        np.asarray(coords)[ok].astype(float), columns=pos_columns
-    )
-    f["signal"] = np.asarray(vals)[ok]
-    # per-candidate size estimate (trackpy.locate 'size' parity)
-    from .ops.locate import feature_sizes
 
-    wshape = tuple(int(round(d)) | 1 for d in diameter)
-    med0 = float(np.median(image))
-    mad0 = float(np.median(np.abs(np.asarray(image) - med0)))
-    sizes_ax = np.array(feature_sizes(
-        np.asarray(image, np.float32)[None],
-        np.asarray(coords, np.int32)[None],
-        np.asarray(valid)[None], wshape,
-        tuple(d / 2.0 for d in diameter),
-        np.asarray([med0], np.float32),
-        noise=np.asarray([1.4826 * mad0], np.float32),
-        per_axis=True,
-    ))
-    vmask = np.asarray(valid)[None]
-    for ax in range(sizes_ax.shape[-1]):
-        sizes_ax[..., ax] = _shrink_sizes(sizes_ax[..., ax], vmask)
-    sizes = np.exp(
-        np.mean(np.log(np.maximum(sizes_ax, 1e-9)), axis=-1)
-    )[0]
-    f["size"] = sizes[ok]
-    if ndim == 3:
-        from .utils import default_size_columns
+    class _One:
+        def __getitem__(self, t):
+            return image
 
-        for ax, c in enumerate(default_size_columns(3, False)):
-            f[c] = sizes_ax[0, ok, ax]
+        def __len__(self):
+            return 1
+
+    f = _locate_frames(
+        _One(), [0], validate_tuple(diameter, ndim), separation,
+        threshold, percentile, max_features, "frame",
+        preprocess=preprocess, noise_size=noise_size,
+        threshold_tile=threshold_tile,
+    ).drop(columns=["frame"])
+    default_cols = default_pos_columns(ndim)
+    if list(pos_columns) != default_cols:
+        f = f.rename(columns=dict(zip(default_cols, pos_columns)))
     return f
 
 
@@ -157,8 +141,11 @@ def track(
     threshold=None,
     percentile: float = 64.0,
     max_features: int = 4096,
+    preprocess: Optional[str] = None,
+    noise_size=1.0,
+    threshold_tile: Optional[int] = None,
     link_backend: Optional[str] = None,
-    find_backend: str = "host",
+    find_backend: str = "auto",
     t_column: str = "frame",
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 16,
@@ -197,6 +184,16 @@ def track(
     for checkpointed runs."""
     if n_frames is None:
         n_frames = len(reader)
+    if preprocess == "bandpass":
+        # a user asking for bandpass is telling us the background is
+        # non-uniform — the reference default (background 'const' 0,
+        # matching clustertracking) then rejects every fit sitting on an
+        # illumination plateau, because refine runs on the RAW frames.
+        # Default the background to a fitted per-cluster parameter
+        # unless the caller chose a mode themselves.
+        pm = dict(refine_kwargs.get("param_mode") or {})
+        pm.setdefault("background", "cluster")
+        refine_kwargs["param_mode"] = pm
     if checkpoint_dir is not None:
         if link_backend not in (None, "host"):
             raise ValueError(
@@ -209,6 +206,8 @@ def track(
             locate_separation, threshold, percentile, max_features,
             find_backend, t_column, checkpoint_dir, checkpoint_every,
             recover_passes, recover_min_signal_frac, mesh, refine_kwargs,
+            preprocess=preprocess, noise_size=noise_size,
+            threshold_tile=threshold_tile,
         )
     reader = _DeviceFrameCache(reader)
     ndim0 = reader[0].ndim
@@ -223,7 +222,8 @@ def track(
     t0 = time.perf_counter()
     f = _locate_frames(
         reader, range(n_frames), diameter, locate_separation, threshold,
-        percentile, max_features, t_column,
+        percentile, max_features, t_column, preprocess=preprocess,
+        noise_size=noise_size, threshold_tile=threshold_tile,
     )
     t1 = time.perf_counter()
 
@@ -236,7 +236,8 @@ def track(
         f, reader, diameter, sep, range(n_frames), locate_separation,
         threshold, percentile, max_features, find_backend, t_column,
         recover_passes, pos_columns, mesh, refine_kwargs,
-        min_signal_frac=recover_min_signal_frac,
+        min_signal_frac=recover_min_signal_frac, preprocess=preprocess,
+        noise_size=noise_size, threshold_tile=threshold_tile,
     )
     t3 = time.perf_counter()
     ok = f["cost"].notna()
@@ -278,7 +279,8 @@ def _refine_with_recovery(
     f, reader, diameter, sep, frame_numbers, locate_separation,
     threshold, percentile, max_features, find_backend, t_column,
     recover_passes, pos_columns, mesh, refine_kwargs,
-    min_signal_frac=None,
+    min_signal_frac=None, preprocess=None, noise_size=1.0,
+    threshold_tile=None,
 ):
     """refine_leastsq + residual-relocate recovery passes (shared by the
     single-shot and checkpointed track paths).
@@ -323,6 +325,8 @@ def _refine_with_recovery(
             rreader,
             frame_numbers, diameter, locate_separation, threshold,
             percentile, max_features, t_column, match_sigma=msig,
+            preprocess=preprocess, noise_size=noise_size,
+            threshold_tile=threshold_tile,
         )
         # per-stage walls ride in the ledger (summed over passes) so the
         # recovery cost self-attributes: residual render + locate, host
@@ -1113,7 +1117,8 @@ def _shrink_sizes(sizes, valid):
 def _locate_frames(
     reader, frame_numbers, diameter, locate_separation, threshold,
     percentile, max_features, t_column, stack_chunk: int = 64,
-    match_sigma=None,
+    match_sigma=None, preprocess=None, noise_size=1.0,
+    threshold_tile=None,
 ):
     """Candidate features for many frames with ONE device dispatch per
     ``stack_chunk`` frames (vmapped local_maxima over the frame stack).
@@ -1134,12 +1139,27 @@ def _locate_frames(
     missed partner of a blended pair survives only as a faint residual
     lobe.  Peak values are rescaled back to amplitude units assuming
     feature σ ≈ match_sigma; size moments still run on the RAW frames.
+
+    ``preprocess='bandpass'`` (VERDICT r4 item 5) runs the trackpy-style
+    bandpass (Gaussian smooth at ``noise_size`` px minus a
+    diameter-scale boxcar background, clipped at 0) before everything —
+    thresholds, peaks, AND size moments run on the flattened stack, so
+    sloped/vignetted illumination neither floods dim corners with false
+    candidates nor starves bright ones.  ``threshold_tile`` (px) further
+    switches the default noise floor to a per-tile median+MAD map for
+    backgrounds the bandpass cannot fully flatten (ignored when an
+    explicit ``threshold`` is given).
     """
     import jax
     import jax.numpy as jnp
 
-    from .ops.locate import gaussian_blur, local_maxima
+    from .ops.locate import (bandpass, gaussian_blur, local_maxima,
+                             tile_threshold_map)
 
+    if preprocess not in (None, "raw", "bandpass"):
+        raise ValueError(
+            f"Unknown preprocess={preprocess!r}; use None or 'bandpass'"
+        )
     frame_numbers = list(frame_numbers)
     out = []
     i = 0
@@ -1152,23 +1172,50 @@ def _locate_frames(
                     np.asarray(im), diameter, locate_separation,
                     threshold=threshold,
                     percentile=percentile, max_features=max_features,
+                    preprocess=preprocess, noise_size=noise_size,
+                    threshold_tile=threshold_tile,
                 )
                 f_t[t_column] = t
                 out.append(f_t)
             i += stack_chunk
             continue
         T = len(chunk)
-        if any(isinstance(im, jax.Array) for im in images):
+        ndim_s = int(np.ndim(images[0]))
+        nsz = tuple(
+            float(s) for s in validate_tuple(noise_size, ndim_s)
+        )
+        if any(isinstance(im, jax.Array) for im in images) or \
+                preprocess == "bandpass":
             stack = jnp.stack(
                 [jnp.asarray(im, jnp.float32) for im in images]
             )
-            flat = stack.reshape(T, -1)
+            if preprocess == "bandpass":
+                bsz = tuple(
+                    int(round(d)) | 1
+                    for d in validate_tuple(diameter, ndim_s)
+                )
+                # noise statistics come from the UNCLIPPED difference —
+                # after the zero clip most background pixels are exactly
+                # 0, so median/MAD of the clipped frame collapse and the
+                # noise floor with them (see ops/locate.bandpass)
+                bp = bandpass(stack, nsz, bsz, clip=False)
+                stack = jnp.maximum(bp, 0.0)
+                stat_src = bp
+            else:
+                stat_src = stack
+            flat = stat_src.reshape(T, -1)
             med = jnp.median(flat, axis=1)
             mad = jnp.median(jnp.abs(flat - med[:, None]), axis=1)
             noise = 1.4826 * mad
             if threshold is None:
-                pct = jnp.percentile(flat, percentile, axis=1)
-                thr = jnp.maximum(pct, med + 6.0 * noise)
+                if threshold_tile:
+                    # locally adaptive floor: [T, *S] med+6·MAD map
+                    thr = tile_threshold_map(
+                        stat_src, int(threshold_tile)
+                    )
+                else:
+                    pct = jnp.percentile(flat, percentile, axis=1)
+                    thr = jnp.maximum(pct, med + 6.0 * noise)
             else:
                 thr = jnp.full((T,), threshold, jnp.float32)
         else:
@@ -1178,10 +1225,15 @@ def _locate_frames(
             mad = np.median(np.abs(flat - med[:, None]), axis=1)
             noise = (1.4826 * mad).astype(np.float32)
             if threshold is None:
-                pct = np.percentile(flat, percentile, axis=1)
-                thr = np.maximum(
-                    pct, med + 6.0 * noise
-                ).astype(np.float32)
+                if threshold_tile:
+                    thr = np.asarray(tile_threshold_map(
+                        jnp.asarray(stack_np), int(threshold_tile)
+                    ))
+                else:
+                    pct = np.percentile(flat, percentile, axis=1)
+                    thr = np.maximum(
+                        pct, med + 6.0 * noise
+                    ).astype(np.float32)
             else:
                 thr = np.full(T, threshold, np.float32)
             stack = stack_np
@@ -1205,8 +1257,13 @@ def _locate_frames(
             att = 2.0 ** (-0.5 * len(sig))
             amp_corr = 1.0 / att
             if threshold is None:
-                pct = jnp.percentile(sflat, percentile, axis=1)
-                thr = jnp.maximum(pct, smed + 6.0 * snoise)
+                if threshold_tile:
+                    thr = tile_threshold_map(
+                        jnp.asarray(loc_stack), int(threshold_tile)
+                    )
+                else:
+                    pct = jnp.percentile(sflat, percentile, axis=1)
+                    thr = jnp.maximum(pct, smed + 6.0 * snoise)
             else:
                 # explicit thresholds are in raw-amplitude units
                 thr = jnp.full((T,), threshold * att, jnp.float32)
@@ -1230,7 +1287,7 @@ def _locate_frames(
 
             c_j, v_j, ok_j, _ = local_maxima_topk(
                 jnp.asarray(loc_stack[j]), sep, max_features,
-                float(thr[j])
+                jnp.asarray(thr)[j]
             )
             coords[j] = np.asarray(c_j)
             vals[j] = np.asarray(v_j) * amp_corr
@@ -1250,6 +1307,15 @@ def _locate_frames(
             tuple(d / 2.0 for d in diam), jnp.asarray(med, jnp.float32),
             noise=jnp.asarray(noise, jnp.float32), per_axis=True,
         ))                                               # [T, K, D]
+        if preprocess == "bandpass":
+            # the noise_size Gaussian convolves the PSF: the moment
+            # estimate reads sqrt(σ² + noise_size²) — deconvolve so the
+            # fit warm start carries the true width
+            nsz_ax = np.asarray(nsz, np.float32)
+            sizes_ax = np.sqrt(
+                np.maximum(sizes_ax**2 - nsz_ax[None, None, :] ** 2,
+                           0.25)
+            )
         # Shrink outliers toward the per-frame median (per axis): a
         # BLENDED blob's moment reads the pair extent, not the PSF —
         # seeding its fit with that inflated width soaks the hidden
@@ -1292,6 +1358,7 @@ def _track_checkpointed(
     locate_separation, threshold, percentile, max_features,
     find_backend, t_column, checkpoint_dir, checkpoint_every,
     recover_passes, recover_min_signal_frac, mesh, refine_kwargs,
+    preprocess=None, noise_size=1.0, threshold_tile=None,
 ):
     """Chunked track with persisted state (resume-safe).
 
@@ -1341,7 +1408,8 @@ def _track_checkpointed(
         )
         f = _locate_frames(
             reader, chunk, diameter, locate_separation, threshold,
-            percentile, max_features, t_column,
+            percentile, max_features, t_column, preprocess=preprocess,
+            noise_size=noise_size, threshold_tile=threshold_tile,
         )
         if len(f):
             f = find_clusters(
@@ -1356,6 +1424,8 @@ def _track_checkpointed(
                 t_column, recover_passes, pos_columns, mesh,
                 refine_kwargs,
                 min_signal_frac=recover_min_signal_frac,
+                preprocess=preprocess, noise_size=noise_size,
+                threshold_tile=threshold_tile,
             )
             # recovery re-runs find_clusters (ids restart at 0), so
             # cross-chunk uniqueness is restored by renumbering here

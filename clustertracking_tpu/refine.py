@@ -1041,6 +1041,59 @@ def _frames_of(reader, frame_numbers, ndim=None):
     return out
 
 
+def _nan_trap_raise(p, rms, model, ndim):
+    """Raise FloatingPointError naming the first non-finite lane of a
+    dispatch (diagnostics.debug_nans — SURVEY.md §5 sanitizers row).
+
+    Distinguishes the two causes a user needs to tell apart: the MODEL
+    FUNCTION itself returning non-finite values at the initial
+    parameters (the custom-model-dict bug class — silently a rejected
+    lane without the trap), vs. a solve that started finite and
+    diverged.  The probe evaluates ``model.fun`` on a host r2 grid with
+    the offending cluster's initial extra params."""
+    bad = np.nonzero(p["valid"] & ~np.isfinite(rms))[0]
+    lane = int(bad[0])
+    p0 = np.asarray(p["params0"])[lane]          # [n, P]
+    n, P = p0.shape
+    n_extra = len(model.extra_params)
+    extras = [float(v) for v in p0[0, P - n_extra:]] if n_extra else []
+    probe = "model probe unavailable"
+    try:
+        r2 = jnp.linspace(0.0, 30.0, 61)
+        vals = np.asarray(model.fun(r2, *map(jnp.float32, extras)))
+        dval = np.asarray(model.dfun_dr2()(
+            jnp.float32(1.0), *map(jnp.float32, extras)))
+        if not np.isfinite(vals).all() or not np.isfinite(dval).all():
+            probe = (
+                "model.fun/dfun is NON-FINITE at the initial parameters "
+                f"(first bad r2 = "
+                f"{float(r2[~np.isfinite(vals)][0]) if not np.isfinite(vals).all() else 'dfun'}) "
+                "— fix the custom model dict (fun/dfun must be finite "
+                "on r2 >= 0)"
+            )
+        else:
+            probe = (
+                "model.fun is finite at the start — the solve DIVERGED "
+                "(check initial guesses, bounds, or scaling)"
+            )
+    except Exception as e:  # pragma: no cover - probe is best-effort
+        probe = f"model probe failed: {e!r}"
+    cid = int(np.asarray(p["cids"])[min(lane, len(p["cids"]) - 1)])
+    t_val = p["tvals"][min(lane, len(p["tvals"]) - 1)]
+    raise FloatingPointError(
+        f"non-finite fit cost in dispatch: model={model.name!r} "
+        f"cluster_size={p['n']} window={p['wshape']} "
+        f"lanes={int(p['valid'].sum())} (first offender: cluster {cid}, "
+        f"frame {t_val}, lane {lane}; {len(bad)} lane(s) affected). "
+        f"{probe}. Initial params of the offending cluster "
+        f"(background, signal, pos..., size..., extras...): "
+        f"{np.round(p0.astype(float), 4).tolist()}. "
+        "This trap is armed by clustertracking_tpu.diagnostics."
+        "debug_nans() / CT_TPU_DEBUG_NANS=1; without it this lane is "
+        "silently rejected (cost NaN, originals kept)."
+    )
+
+
 def refine_leastsq(
     f: pd.DataFrame,
     reader,
@@ -1228,6 +1281,10 @@ def refine_leastsq(
         )
         pos_mat, layout, con = p["pos_mat"], p["layout"], p["con"]
         ok_lane = (rms <= max_rms_dev) & np.isfinite(rms) & valid
+        if diagnostics.nan_debug_active() and (
+            valid & ~np.isfinite(rms)
+        ).any():
+            _nan_trap_raise(p, rms, model, ndim)
         # mirrors _bucket_solver's use_pallas decision — a config
         # pallas_available rejects (e.g. window too big for VMEM, 3D
         # rigid pose) actually ran the XLA path and must be recorded
@@ -1466,6 +1523,10 @@ def refine_leastsq(
                 pos_mat=pos_mat, layout=layout, con=con, wshape=wshape,
                 backend_tag=backend_tag,
                 dispatch_s=time.perf_counter() - t_dispatch,
+                # non-finite trap context (diagnostics.debug_nans): the
+                # initial params + cluster ids let the trap name the
+                # offending cluster and probe the model at its start
+                params0=params0, cids=cid[starts], tvals=t_arr[starts],
             ))
 
         # keep at most one chunk's dispatches in flight (bounds device

@@ -19,6 +19,16 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache (VERDICT r4 item 10): the heaviest
+# tests (dense recovery, sharded API) serialize minutes of XLA:CPU
+# compiles per run; caching cuts the warm full-suite wall.  The suite's
+# test-strategy contract is SINGLE-process (SURVEY.md §4), and the dir
+# is scoped per-backend (the benchmarks' documented concurrent-writer
+# segfault involved a TPU process and a CPU process sharing one dir —
+# suite.py), so no concurrent writers exist here.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -56,3 +56,46 @@ def test_rejections_counted():
         )
     assert out["cost"].isna().all()
     assert stats.summary()["n_rejected"] == 3
+
+
+def _nan_model():
+    import jax.numpy as jnp
+
+    # sqrt(r2 - 1) is NaN inside r2 < 1 — the center of every feature:
+    # the canonical broken custom model dict
+    return {
+        "name": "broken",
+        "params": (),
+        "fun": lambda r2: jnp.sqrt(r2 - 1.0),
+        "default": {},
+    }
+
+
+def test_nan_trap_raises_with_bucket_config():
+    """VERDICT r4 item 9: with the trap armed, a custom model dict that
+    produces non-finite residuals surfaces a clear FloatingPointError
+    naming the bucket config — instead of a silent rejected lane."""
+    import pytest
+
+    img, f = _scene()
+    with ct.diagnostics.debug_nans():
+        with pytest.raises(FloatingPointError) as ei:
+            ct.refine_leastsq(
+                f, img, diameter=9, separation=5.5,
+                fit_function=_nan_model(),
+            )
+    msg = str(ei.value)
+    assert "broken" in msg            # model name
+    assert "cluster_size" in msg      # bucket config
+    assert "NON-FINITE" in msg        # cause attribution: model, not solve
+
+
+def test_nan_without_trap_is_silent_rejection():
+    """Default semantics unchanged: cost NaN, originals kept."""
+    img, f = _scene()
+    out = ct.refine_leastsq(
+        f, img, diameter=9, separation=5.5, fit_function=_nan_model(),
+    )
+    assert out["cost"].isna().all()
+    # originals kept
+    np.testing.assert_allclose(out["y"], f["y"])

@@ -167,3 +167,40 @@ def test_contended_crossing_at_shard_boundary():
     np.testing.assert_array_equal(
         _canon(single, valid), _canon(sharded, valid)
     )
+
+
+def test_sharded_track_spans_two_cuts():
+    """VERDICT r4 item 8: with short shards (Ts <= memory) a track whose
+    memory-window absence swallows a WHOLE shard must still bridge —
+    the adjacent-only stitch fragmented it where the single-scan linker
+    reconnects."""
+    pos, valid = _trajectories(T=12, N=5, step=0.2)
+    # 4 shards of 3 frames; particle 0 vanishes frames 3..6 (4 frames =
+    # memory), i.e. across BOTH the 3|4 and 6|7 cuts, covering shard 1
+    # entirely.  memory=4 allows the 5-frame gap (last seen 2, next 7).
+    for t in range(3, 7):
+        valid[t, 0] = False
+    single = np.asarray(link_on_device(pos, valid, 3.0, 4))
+    sharded = link_sharded(pos, valid, 3.0, 4, n_shards=4)
+    np.testing.assert_array_equal(
+        _canon(single, valid), _canon(sharded, valid)
+    )
+    assert sharded[2, 0] == sharded[7, 0]
+
+
+def test_sharded_two_cut_gap_not_overmerged():
+    """The multi-boundary reach must not re-consume a stitched tail: a
+    DEAD track (gap > memory) near a live one stays fragmented exactly
+    like the single scan says."""
+    pos, valid = _trajectories(T=12, N=5, step=0.2)
+    # particle 1 dies at frame 2 for good (gap exceeds memory)
+    for t in range(3, 12):
+        valid[t, 1] = False
+    # particle 0 vanishes over shard 1 as above, reappears at 7
+    for t in range(3, 7):
+        valid[t, 0] = False
+    single = np.asarray(link_on_device(pos, valid, 3.0, 4))
+    sharded = link_sharded(pos, valid, 3.0, 4, n_shards=4)
+    np.testing.assert_array_equal(
+        _canon(single, valid), _canon(sharded, valid)
+    )
