@@ -24,7 +24,9 @@ def main():
 
     rng = np.random.default_rng(3)
     sep = (6.0, 6.0)
-    for n in (1000, 2000, 4096, 8192, 16384):
+    ns = ([int(a) for a in sys.argv[1:]]
+          or (1000, 2000, 4096, 8192, 16384, 32768, 65536))
+    for n in ns:
         # config-5 density: ~10k features on 1024² → scale area with n
         side = 1024.0 * np.sqrt(n / 10000.0)
         coords = rng.uniform(8, side - 8, (n, 2)).astype(np.float32)

@@ -24,12 +24,16 @@ __all__ = ["Clusters", "find_clusters"]
 
 # 'auto' backend routing: frames with at least this many candidates take
 # the device label-propagation path when a TPU is attached.  Measured on
-# v5e through the axon tunnel (benchmarks/find_exp.py, r5): the host
-# cKDTree+union-find costs ~45 ms at 10k features/frame while the device
-# dispatch is bounded by the ~27 ms tunnel round-trip, crossing over
-# around a few thousand candidates; below it the dispatch overhead
-# dominates and the host path wins.
-_DEVICE_MIN_FEATURES = 4096
+# v5e through the axon tunnel (benchmarks/find_exp.py, r5, after the
+# precision fixes): host cKDTree+union-find vs device dispatch+fetch is
+# 21.8/31.2 ms at 8k, 38.0/50.9 at 16k, 74.0/99.6 at 32k, 163/275 at 65k
+# — the host WINS at every realistic scale here because every device
+# call pays the ~27 ms tunnel round-trip twice (dispatch + label fetch)
+# and the O(N²) propagation re-walk is HBM-bound.  On a locally-attached
+# TPU (no RTT) the device compute alone undercuts the host from ~8k up,
+# so the threshold is kept finite but above this tunnel's crossover;
+# parity is exact at all sizes (hi/lo split, see ops/find.py).
+_DEVICE_MIN_FEATURES = 100_000
 
 
 class Clusters:
@@ -106,14 +110,17 @@ def _labels_device(coords: np.ndarray, separation) -> np.ndarray:
     N = len(coords)
     chunk = 256
     Npad = max(chunk, ((N + chunk - 1) // chunk) * chunk)
-    pad = np.zeros((Npad, coords.shape[1]), dtype=np.float32)
-    pad[:N] = coords
+    coords = np.asarray(coords, dtype=np.float64)
+    hi = np.zeros((Npad, coords.shape[1]), dtype=np.float32)
+    lo = np.zeros_like(hi)
+    hi[:N] = coords.astype(np.float32)
+    lo[:N] = (coords - hi[:N].astype(np.float64)).astype(np.float32)
     valid = np.zeros(Npad, dtype=bool)
     valid[:N] = True
     labels = connected_components(
-        jnp.asarray(pad), jnp.asarray(valid), np.asarray(separation,
-                                                         dtype=np.float32),
-        row_chunk=chunk,
+        jnp.asarray(hi), jnp.asarray(valid), np.asarray(separation,
+                                                        dtype=np.float32),
+        row_chunk=chunk, coords_lo=jnp.asarray(lo),
     )
     return np.asarray(labels)[:N]
 

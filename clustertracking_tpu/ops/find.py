@@ -5,8 +5,15 @@ Rebuild of clustertracking/find.py::find_clusters / Clusters (SURVEY.md §2,
 and merges them with a Python union-find.  On TPU we avoid data-dependent
 structures entirely (SURVEY.md §7 M3):
 
-- pairwise squared distances are computed in row-chunks whose inner product
-  term is a matmul (MXU-friendly), never materializing the full N×N matrix;
+- pairwise squared distances are computed in row-chunks via per-axis
+  direct differences, never materializing the full N×N×D tensor.  The
+  matmul expansion |a|²+|b|²-2a·b would feed the MXU but loses ~3 decimal
+  digits to cancellation at config-5 coordinate magnitudes (|x|²≈6e4 in
+  f32 → absolute d2 error ~6e-3), flipping borderline pairs vs the f64
+  host cKDTree (measured: parity failures at N≥4096 dense frames).
+  Direct subtraction of nearby floats is exactly rounded, so the d2
+  error is ~1e-7 and parity holds; the VPU cost (~3D ops/pair) is
+  sub-millisecond at N=16k;
 - connected components come from iterated *min-label propagation* (each
   point takes the minimum label among its neighbors) accelerated with
   pointer jumping (``labels = labels[labels]``), which converges in
@@ -32,13 +39,15 @@ __all__ = ["connected_components", "cluster_sizes", "host_connected_components"]
 _INF = jnp.iinfo(jnp.int32).max
 
 
-@partial(jax.jit, static_argnames=("row_chunk", "max_iter"))
+@partial(jax.jit, static_argnames=("row_chunk", "max_iter", "max_degree"))
 def connected_components(
     coords,
     valid,
     separation,
     row_chunk: int = 256,
     max_iter: int = 64,
+    coords_lo=None,
+    max_degree: int = 64,
 ):
     """Label connected components of the <=separation overlap graph.
 
@@ -49,6 +58,16 @@ def connected_components(
       row_chunk: rows per distance tile (N must be a multiple; pad first).
       max_iter: cap on propagate+jump rounds (each round at least halves
         the remaining label-tree height).
+      coords_lo: optional [N, D] f32 residual of the f64 positions after
+        f32 rounding (``f64 - f32(f64)``).  f32 alone quantizes a 1024²
+        frame's coordinates to ~1e-5 px, which flips razor-edge pairs vs
+        the host's f64 cKDTree (measured at N≥16k dense frames); with the
+        hi/lo split the per-axis difference is exact to ~1e-7 relative
+        because nearby-float subtraction is exactly rounded.
+      max_degree: unused (kept for call compatibility).  A neighbor-list
+        variant (one O(N²) pass + O(N·K) sweeps) was measured SLOWER than
+        re-walking the matrix: lax.top_k over the N-column adjacency rows
+        cost 5.7 s at N=65k vs 275 ms total for full-matrix propagation.
 
     Returns:
       labels: [N] int32 — root index per point (same value = same cluster);
@@ -60,27 +79,38 @@ def connected_components(
     sep = jnp.broadcast_to(
         jnp.asarray(separation, dtype=coords.dtype), (D,)
     )
-    x = coords / sep
-    sq = jnp.sum(x * x, axis=-1)                   # [N]
+    x = coords
+    xlo = coords_lo
     idx = jnp.arange(N, dtype=jnp.int32)
+    starts = jnp.arange(0, N, row_chunk, dtype=jnp.int32)
+
+    def adj_block(i0):
+        """[row_chunk, N] adjacency (self-excluded) for rows i0:i0+chunk."""
+        xb = jax.lax.dynamic_slice(x, (i0, 0), (row_chunk, D))
+        vb = jax.lax.dynamic_slice(valid, (i0,), (row_chunk,))
+        # per-axis direct differences: exactly-rounded subtraction keeps
+        # d2 accurate to ~1e-7 near the threshold (see module docstring);
+        # accumulated per axis so only [chunk, N] lives.  Scaling by
+        # 1/sep happens AFTER the subtraction so the division rounds an
+        # O(1)-magnitude value, not the coords.
+        d2 = jnp.zeros((row_chunk, N), dtype=x.dtype)
+        for d in range(D):
+            diff = xb[:, d, None] - x[None, :, d]
+            if xlo is not None:
+                xlb = jax.lax.dynamic_slice(xlo, (i0, 0), (row_chunk, D))
+                diff = diff + (xlb[:, d, None] - xlo[None, :, d])
+            diff = diff / sep[d]
+            d2 = d2 + diff * diff
+        return (d2 <= 1.0) & valid[None, :] & vb[:, None]
 
     def neighbor_min(labels):
         """For each point: min label over {self} ∪ neighbors."""
 
         def block(carry, i0):
-            xb = jax.lax.dynamic_slice(x, (i0, 0), (row_chunk, D))
-            sqb = jax.lax.dynamic_slice(sq, (i0,), (row_chunk,))
-            vb = jax.lax.dynamic_slice(valid, (i0,), (row_chunk,))
-            # d2[c, j] = |x_c|^2 + |x_j|^2 - 2 x_c . x_j   (matmul term)
-            d2 = sqb[:, None] + sq[None, :] - 2.0 * jnp.matmul(
-                xb, x.T, precision=jax.lax.Precision.HIGHEST)
-            adj = (d2 <= 1.0) & valid[None, :] & vb[:, None]
-            cand = jnp.where(adj, labels[None, :], _INF)
+            cand = jnp.where(adj_block(i0), labels[None, :], _INF)
             return carry, jnp.min(cand, axis=1)
 
-        _, mins = jax.lax.scan(
-            block, None, jnp.arange(0, N, row_chunk, dtype=jnp.int32)
-        )
+        _, mins = jax.lax.scan(block, None, starts)
         mins = mins.reshape(N)
         return jnp.minimum(labels, jnp.where(valid, mins, labels))
 
