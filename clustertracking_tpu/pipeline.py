@@ -1206,7 +1206,19 @@ def _locate_frames(
             flat = stat_src.reshape(T, -1)
             med = jnp.median(flat, axis=1)
             mad = jnp.median(jnp.abs(flat - med[:, None]), axis=1)
-            noise = 1.4826 * mad
+            # Quantized (integer-dtype) frames collapse the MAD to
+            # exactly 0 when >50% of pixels share the median value —
+            # e.g. uint8 background noise clipped at 0 — which erased
+            # the noise floor and flooded locate with noise maxima
+            # (measured: 194 candidates on a 2-feature saturated uint8
+            # frame).  Fall back to a quantile scale (q90−med = 1.2816σ
+            # for a Gaussian), which survives quantization yet stays 0
+            # on truly noiseless synthetics (background exactly flat).
+            q90 = jnp.percentile(flat, 90.0, axis=1)
+            noise = jnp.where(
+                mad > 0, 1.4826 * mad,
+                jnp.maximum((q90 - med) / 1.2816, 0.0),
+            )
             if threshold is None:
                 if threshold_tile:
                     # locally adaptive floor: [T, *S] med+6·MAD map
@@ -1223,7 +1235,13 @@ def _locate_frames(
             flat = stack_np.reshape(T, -1)
             med = np.median(flat, axis=1).astype(np.float32)
             mad = np.median(np.abs(flat - med[:, None]), axis=1)
-            noise = (1.4826 * mad).astype(np.float32)
+            # quantization-robust fallback when MAD collapses to 0 —
+            # see the device branch above
+            q90 = np.percentile(flat, 90.0, axis=1)
+            noise = np.where(
+                mad > 0, 1.4826 * mad,
+                np.maximum((q90 - med) / 1.2816, 0.0),
+            ).astype(np.float32)
             if threshold is None:
                 if threshold_tile:
                     thr = np.asarray(tile_threshold_map(
