@@ -62,12 +62,15 @@ def main():
               max_cluster_size=24)
     for rp in passes:
         ct.track(reader, recover_passes=rp, **kw)  # warm (jit compiles)
-        t0 = time.perf_counter()
-        out = ct.track(reader, recover_passes=rp, **kw)
-        dt = time.perf_counter() - t0
+        with ct.diagnostics.collect() as stats:
+            t0 = time.perf_counter()
+            out = ct.track(reader, recover_passes=rp, **kw)
+            dt = time.perf_counter() - t0
         rec = {"recover_passes": rp,
                "frames_per_sec": round(n_frames / dt, 3)}
         rec.update(score(out, truth, n_frames))
+        rec["ledger"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                         for k, v in stats.ledger.items()}
         print(json.dumps(rec), flush=True)
 
 

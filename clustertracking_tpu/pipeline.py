@@ -52,6 +52,13 @@ _NOISE_EVIDENCE = 6.0
 # when set to a list, the likelihood accept appends
 # (joint_refit_rms, old_footprint_rms, n_candidates) per touched cluster
 _DEBUG_ACCEPT = None
+# When set to a dict, each recovery pass appends diagnostics here:
+# 'located' — the post-on-top-drop residual candidates per pass;
+# 'gated' — every RECOVERED candidate that reached the accept stage,
+# with a 'gate' column naming its fate ('accepted' or the first gate
+# that pruned it).  Used by benchmarks/miss_exp.py to attribute every
+# missed truth feature to a specific stage (VERDICT r4 item 1).
+_DEBUG_STASH = None
 # when True, surviving outputs carry a ``recovered_pass`` column (0 =
 # main fit, k = accepted by recovery pass k) for experiment attribution
 _TAG_RECOVERED = False
@@ -63,6 +70,15 @@ _REFIT_MAX_ITER = 3
 # matched-filter residual locate (smooth with the fitted PSF before
 # peak detection) — the recovery pass's detection-depth upgrade
 _MATCH_FILTER = True
+# Residual-locate noise gate (multiples of the robust σ above the
+# median) for RECOVERY passes.  The main locate keeps the conservative
+# 6σ floor; the recovery pass can afford to admit dimmer residual
+# evidence because every candidate must still buy its place through the
+# likelihood-ratio accept + shoulder-signal + displacement + duplicate
+# gates below.  Measured at full config-5 scale (benchmarks/
+# recovery_exp.py, r5): 6σ → 90.04% coverage / 365 ghosts; see
+# RESULTS.md for the swept values.
+_RECOVERY_NOISE_K = 6.0
 # shared byte cap for the device-resident frame caches
 # (_DeviceFrameCache and _ResidualReader) — together they bound the
 # pipeline's cache HBM at 2× this (ADVICE r3: the residual cache is
@@ -326,7 +342,7 @@ def _refine_with_recovery(
             frame_numbers, diameter, locate_separation, threshold,
             percentile, max_features, t_column, match_sigma=msig,
             preprocess=preprocess, noise_size=noise_size,
-            threshold_tile=threshold_tile,
+            threshold_tile=threshold_tile, noise_k=_RECOVERY_NOISE_K,
         )
         # per-stage walls ride in the ledger (summed over passes) so the
         # recovery cost self-attributes: residual render + locate, host
@@ -358,6 +374,10 @@ def _refine_with_recovery(
             )
         if not len(new):
             break
+        if _DEBUG_STASH is not None:
+            _DEBUG_STASH.setdefault("located", []).append(new.copy())
+            _DEBUG_STASH.setdefault("rreader", []).append(rreader)
+            _DEBUG_STASH.setdefault("match_sigma", []).append(msig)
         # carry EVERY fitted parameter column of the accepted features
         # into the refit (they are both the warm start and — via the
         # rejection-keeps-originals contract — the fallback when a
@@ -512,6 +532,10 @@ def _refine_with_recovery(
             recovery_dropped_over_cap=int(drop.sum())
         )
         if drop.any():
+            if _DEBUG_STASH is not None:
+                oc = combined[drop].copy()
+                oc["gate"] = "over_cap"
+                _DEBUG_STASH.setdefault("gated", []).append(oc)
             combined = combined.drop(
                 columns=["cluster", "cluster_size"]
             )[~drop]
@@ -713,9 +737,11 @@ def _refine_with_recovery(
         # pair plus the original) converges to ~zero signal in the joint
         # refit — prune it rather than emit a ghost feature
         n_lr = int(ghost.sum())
-        ghost = pd.Series(ghost, index=f.index) | (
+        lr_mask = ghost.copy()
+        zero_mask = (
             f["cost"].notna() & (f["signal"] < sig_floor)
-        )
+        ).to_numpy()
+        ghost = pd.Series(ghost, index=f.index) | zero_mask
         n_sig = int(ghost.sum()) - n_lr
         # shoulder-lobe signal gate (RECOVERED rows only): a candidate
         # the joint refit keeps but fits at a small fraction of the
@@ -798,6 +824,29 @@ def _refine_with_recovery(
         diagnostics.record_ledger(
             recovery_accept_s=round(time.perf_counter() - t_mark, 4)
         )
+        if _DEBUG_STASH is not None:
+            # first-gate-wins label per RECOVERED row (miss attribution)
+            lab = np.full(len(f), "accepted", object)
+            dup_mask = gvals & ~np.asarray(
+                lr_mask | zero_mask
+                | (low.to_numpy() if sig_frac else False)
+                | ((recovered_col & (disp > _DISP_GATE))
+                   if _DISP_GATE is not None else False)
+            )
+            for name, m in (
+                ("duplicate", dup_mask),
+                ("displacement",
+                 (recovered_col & (disp > _DISP_GATE))
+                 if _DISP_GATE is not None else None),
+                ("low_signal", low.to_numpy() if sig_frac else None),
+                ("zero_signal", zero_mask),
+                ("likelihood", lr_mask),
+            ):
+                if m is not None:
+                    lab[np.asarray(m, bool)] = name
+            g = f[recovered_col].copy()
+            g["gate"] = lab[recovered_col]
+            _DEBUG_STASH.setdefault("gated", []).append(g)
         if ghost.any():
             # per-gate attribution so a dense-scale ledger explains
             # every pruned candidate (VERDICT r2 item 3's escape clause)
@@ -837,8 +886,12 @@ def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
     out_noise = {}
     for t, gt in g.groupby(t_column):
         res = np.asarray(rreader[int(t)], dtype=np.float32)
-        med_t = float(np.median(res))
-        noise_t = 1.4826 * float(np.median(np.abs(res - med_t)))
+        # frame-global noise floor from a strided subsample: the median/
+        # MAD of ~65k pixels estimates σ to ~0.4% (1/√n), and the full
+        # 1M-pixel pair of medians was ~10% of the footprint stage wall
+        sub = res[(slice(None, None, 4),) * res.ndim]
+        med_t = float(np.median(sub))
+        noise_t = 1.4826 * float(np.median(np.abs(sub - med_t)))
         shape = np.asarray(res.shape)
         # Batched per cluster-SIZE group: the former per-cluster Python
         # loop (meshgrid + mask per cluster) measured 4.4 s of a 13.3 s
@@ -923,23 +976,30 @@ def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
                 # sensor).
                 inv = ~mask
                 n_inv = inv.sum(axis=red)
-                with warnings.catch_warnings():
-                    # fully-masked windows (clamped tiny W) hit
-                    # nanmedian's all-NaN warning; those rows take the
-                    # frame-global floor below anyway
-                    warnings.simplefilter("ignore", RuntimeWarning)
-                    med_w = np.nanmedian(
-                        np.where(inv, window, np.nan), axis=red
-                    )
-                    mad_w = np.nanmedian(
-                        np.where(
-                            inv,
-                            np.abs(window - np.expand_dims(med_w, red)),
-                            np.nan,
-                        ),
-                        axis=red,
-                    )
-                mad_w = np.nan_to_num(mad_w, nan=0.0)
+                # Median/MAD over each window's out-of-footprint pixels
+                # via vectorized row sorts of +inf-masked values (the
+                # k-th order statistics land at per-row indices derived
+                # from n_inv).  The former masked-nanmedian pair was the
+                # footprint stage's hottest op (np.ma sort machinery —
+                # profiled at ~40% of the stage wall at dense scale);
+                # two C-level row sorts compute the same statistics.
+                B_rows = np.arange(B)
+                kk = np.maximum(n_inv, 1)
+                lo_i, hi_i = (kk - 1) // 2, kk // 2
+                P = int(np.prod(W))
+                ws = np.sort(
+                    np.where(inv, window, np.inf).reshape(B, P), axis=1
+                )
+                med_w = 0.5 * (ws[B_rows, lo_i] + ws[B_rows, hi_i])
+                med_w = np.where(n_inv > 0, med_w, 0.0)
+                adev = np.where(
+                    inv,
+                    np.abs(window - np.expand_dims(med_w, red)),
+                    np.inf,
+                ).reshape(B, P)
+                asort = np.sort(adev, axis=1)
+                mad_w = 0.5 * (asort[B_rows, lo_i] + asort[B_rows, hi_i])
+                mad_w = np.where(n_inv > 0, mad_w, 0.0)
                 noise_w = np.where(
                     n_inv >= 16, 1.4826 * mad_w, noise_t
                 )
@@ -1118,7 +1178,7 @@ def _locate_frames(
     reader, frame_numbers, diameter, locate_separation, threshold,
     percentile, max_features, t_column, stack_chunk: int = 64,
     match_sigma=None, preprocess=None, noise_size=1.0,
-    threshold_tile=None,
+    threshold_tile=None, noise_k: float = 6.0,
 ):
     """Candidate features for many frames with ONE device dispatch per
     ``stack_chunk`` frames (vmapped local_maxima over the frame stack).
@@ -1227,7 +1287,7 @@ def _locate_frames(
                     )
                 else:
                     pct = jnp.percentile(flat, percentile, axis=1)
-                    thr = jnp.maximum(pct, med + 6.0 * noise)
+                    thr = jnp.maximum(pct, med + noise_k * noise)
             else:
                 thr = jnp.full((T,), threshold, jnp.float32)
         else:
@@ -1250,7 +1310,7 @@ def _locate_frames(
                 else:
                     pct = np.percentile(flat, percentile, axis=1)
                     thr = np.maximum(
-                        pct, med + 6.0 * noise
+                        pct, med + noise_k * noise
                     ).astype(np.float32)
             else:
                 thr = np.full(T, threshold, np.float32)
@@ -1281,7 +1341,7 @@ def _locate_frames(
                     )
                 else:
                     pct = jnp.percentile(sflat, percentile, axis=1)
-                    thr = jnp.maximum(pct, smed + 6.0 * snoise)
+                    thr = jnp.maximum(pct, smed + noise_k * snoise)
             else:
                 # explicit thresholds are in raw-amplitude units
                 thr = jnp.full((T,), threshold * att, jnp.float32)
