@@ -24,29 +24,55 @@ def main():
     from clustertracking_tpu import pipeline
 
     n_frames = 4
-    points = [tuple(float(x) for x in a.split(":"))
-              for a in sys.argv[1:]] or [(6.0, 1), (4.0, 1), (3.0, 1)]
+    # point spec: comma-separated key=value tokens, e.g.
+    #   k=6,rp=1,lm=60,mi=6,disp=3.5,cap=32
+    # k: _RECOVERY_NOISE_K; rp: recover_passes; lm/mi: refit budget
+    # (_REFIT_LM_MAX_ITER/_REFIT_MAX_ITER); disp: _DISP_GATE (0 → None);
+    # cap: max_cluster_size
+    specs = sys.argv[1:] or ["k=6,rp=1"]
     reader, truth = _video(n_frames, 10000, (1024, 1024), 5.0, seed=5)
-    kw = dict(diameter=9, separation=6, search_range=3.0, memory=2,
-              link_backend="auto", max_features=16384,
-              max_cluster_size=24)
-    warm = False
-    for k, rp in points:
-        rp = int(rp)
-        pipeline._RECOVERY_NOISE_K = k
-        if not warm:
+    base_kw = dict(diameter=9, separation=6, search_range=3.0, memory=2,
+                   link_backend="auto", max_features=16384)
+    defaults = dict(
+        k=pipeline._RECOVERY_NOISE_K, rp=1,
+        lm=pipeline._REFIT_LM_MAX_ITER, mi=pipeline._REFIT_MAX_ITER,
+        disp=pipeline._DISP_GATE, cap=24,
+        split=pipeline._SPLIT_SIG_EXCESS,
+    )
+    warm = set()
+    for spec in specs:
+        p = dict(defaults)
+        for tok in spec.split(","):
+            key, v = tok.split("=")
+            p[key] = float(v)
+        rp = int(p["rp"])
+        pipeline._RECOVERY_NOISE_K = p["k"]
+        pipeline._REFIT_LM_MAX_ITER = int(p["lm"])
+        pipeline._REFIT_MAX_ITER = int(p["mi"])
+        pipeline._DISP_GATE = (float(p["disp"]) if p["disp"] else None)
+        pipeline._SPLIT_SIG_EXCESS = (float(p["split"]) if p["split"]
+                                      else None)
+        kw = dict(base_kw, max_cluster_size=int(p["cap"]))
+        wkey = (rp, int(p["cap"]))
+        if wkey not in warm:
             ct.track(reader, recover_passes=rp, **kw)
-            warm = True
+            warm.add(wkey)
         with ct.diagnostics.collect() as stats:
             t0 = time.perf_counter()
             out = ct.track(reader, recover_passes=rp, **kw)
             dt = time.perf_counter() - t0
-        rec = {"noise_k": k, "recover_passes": rp,
+        rec = {"spec": spec,
                "frames_per_sec": round(n_frames / dt, 3)}
         rec.update(score(out, truth, n_frames))
         rec["ledger"] = {kk: (round(v, 3) if isinstance(v, float) else v)
                          for kk, v in stats.ledger.items()}
         print(json.dumps(rec), flush=True)
+        for attr, key in (("_RECOVERY_NOISE_K", "k"),
+                          ("_REFIT_LM_MAX_ITER", "lm"),
+                          ("_REFIT_MAX_ITER", "mi"),
+                          ("_DISP_GATE", "disp"),
+                          ("_SPLIT_SIG_EXCESS", "split")):
+            setattr(pipeline, attr, defaults[key])
 
 
 if __name__ == "__main__":

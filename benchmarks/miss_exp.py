@@ -81,10 +81,17 @@ def main():
                     # accepted-but->1px means the refit moved it away
                     if g["gate"] == "accepted":
                         cat = "located_lost"
+                elif dg < 2.5:
+                    # flank-lobe candidate: residual evidence peaked
+                    # OUTSIDE the truth (quadrupole flank of an absorbed
+                    # blend) — the candidate existed, displaced
+                    cat = f"flank:{gt.iloc[kg]['gate']}"
             if cat == "not_located" and ltree is not None:
                 dl, _ = ltree.query(m, k=1)
                 if dl < 1.0:
                     cat = "located_lost"
+                elif dl < 2.5:
+                    cat = "flank:prep_lost"
             cats[cat] = cats.get(cat, 0) + 1
     rec["miss_categories"] = dict(
         sorted(cats.items(), key=lambda kv: -kv[1])

@@ -79,6 +79,13 @@ _MATCH_FILTER = True
 # recovery_exp.py, r5): 6σ → 90.04% coverage / 365 ghosts; see
 # RESULTS.md for the swept values.
 _RECOVERY_NOISE_K = 6.0
+# Quadrupole split-probes (see the block in _refine_with_recovery):
+# originals carrying more than this multiple of the accepted-population
+# median signal are split-tested along their residual-quadrupole axis.
+# None/0 disables.  1.35 sits between the single-feature signal scatter
+# (~±15% at config-5 noise) and an absorbed pair's ~1.5-2.2×.
+_SPLIT_SIG_EXCESS = 1.35
+_SPLIT_WINDOW = 9
 # shared byte cap for the device-resident frame caches
 # (_DeviceFrameCache and _ResidualReader) — together they bound the
 # pipeline's cache HBM at 2× this (ADVICE r3: the residual cache is
@@ -520,6 +527,113 @@ def _refine_with_recovery(
         )
         if drop_dup.any():
             combined = combined[~drop_dup].reset_index(drop=True)
+        # -------- quadrupole split-probes (absorbed blends) ----------
+        # A pair whose peaks merged below the locate window is often fit
+        # by ONE wider Gaussian carrying ~2× the population signal — and
+        # leaves no residual PEAK for the lobe machinery above (measured
+        # at full config-5 scale: 2.1k of 4.0k misses had no residual
+        # candidate within 2.5 px, yet their nearest accepted output ran
+        # 1.5-2× the median signal).  The residual still carries the
+        # blend's QUADRUPOLE mode (positive flanks along the pair axis,
+        # negative core), which integrates over the window instead of
+        # needing a single pixel above the noise gate.  For signal-excess
+        # originals, estimate the pair axis from the residual quadrupole
+        # tensor, split the original into a pair at ±δ along it (δ from
+        # the fitted-width excess), and let the joint refit + likelihood
+        # accept + signal/displacement/duplicate gates arbitrate exactly
+        # as for lobe-triggered candidates.
+        res_host: dict = {}
+        n_split = 0
+        if _SPLIT_SIG_EXCESS:
+            med_sig_acc = float(acc["signal"].median())
+            Dn = len(pos_columns)
+            aniso_cols = [c for c in ("size_z", "size_y", "size_x")
+                          if c in combined.columns][:Dn]
+            size_cols = (aniso_cols if len(aniso_cols) == Dn
+                         else (["size"] if "size" in combined.columns
+                               else []))
+            pos_c = combined[pos_columns].to_numpy(dtype=float)
+            sig_c = combined["signal"].to_numpy(dtype=float)
+            rec_c = combined["_recovered"].to_numpy()
+            tcol_c = combined[t_column].to_numpy()
+            # mirrored originals already halved their signal, so they
+            # fall below the excess threshold automatically
+            sus = np.nonzero(
+                ~rec_c & (sig_c > _SPLIT_SIG_EXCESS * med_sig_acc)
+            )[0]
+            if len(sus) and size_cols:
+                med_sz = float(np.mean(
+                    [float(acc[c].median()) for c in size_cols]
+                ))
+                szs = combined[size_cols].to_numpy(dtype=float)[sus]
+                sz_sc = np.exp(
+                    np.log(np.maximum(szs, 1e-6)).mean(axis=1)
+                )
+                delta = np.sqrt(np.maximum(sz_sc**2 - med_sz**2, 0.0))
+                # lower clamp keeps the split pair outside dup_r; upper
+                # keeps it inside one cluster (< separation)
+                delta = np.clip(
+                    delta, 0.85, 0.45 * float(min(np.atleast_1d(sep)))
+                )
+                w_half = _SPLIT_WINDOW // 2
+                axes = np.zeros((len(sus), Dn))
+                for t in np.unique(tcol_c[sus]):
+                    res = res_host.get(int(t))
+                    if res is None:
+                        res = np.asarray(rreader[int(t)],
+                                         dtype=np.float32)
+                        res_host[int(t)] = res
+                    sel = np.nonzero(tcol_c[sus] == t)[0]
+                    B = len(sel)
+                    shape = np.asarray(res.shape)
+                    P = np.round(pos_c[sus[sel]]).astype(int)
+                    o = np.clip(P - w_half, 0,
+                                shape - (2 * w_half + 1))
+                    ix = []
+                    for d in range(Dn):
+                        ar = o[:, d].reshape(
+                            (B,) + (1,) * Dn
+                        ) + np.arange(2 * w_half + 1).reshape(
+                            (1,) * (1 + d) + (-1,) + (1,) * (Dn - 1 - d)
+                        )
+                        ix.append(ar)
+                    win = res[tuple(np.broadcast_arrays(*ix))]
+                    red = tuple(range(1, 1 + Dn))
+                    r0 = win - win.mean(axis=red, keepdims=True)
+                    M = np.zeros((B, Dn, Dn))
+                    rel = [
+                        ix[d] - pos_c[sus[sel], d].reshape(
+                            (B,) + (1,) * Dn
+                        )
+                        for d in range(Dn)
+                    ]
+                    for a in range(Dn):
+                        for b in range(a, Dn):
+                            Mab = (r0 * rel[a] * rel[b]).sum(axis=red)
+                            M[:, a, b] = Mab
+                            M[:, b, a] = Mab
+                    _, evecs = np.linalg.eigh(M)
+                    axes[sel] = evecs[:, :, -1]
+                # split: original moves to +δv̂ (rollback snapshot already
+                # holds its pre-split values), candidate appears at −δv̂
+                probes = combined.iloc[sus].copy()
+                half = 0.5 * sig_c[sus]
+                plus = pos_c[sus] + delta[:, None] * axes
+                minus = pos_c[sus] - delta[:, None] * axes
+                combined.loc[combined.index[sus], pos_columns] = plus
+                combined.loc[combined.index[sus], "signal"] = half
+                probes[pos_columns] = minus
+                probes["signal"] = half
+                probes["_recovered"] = True
+                probes["_acc_row"] = -1
+                probes["_old_cost"] = np.nan
+                for c in (*pos_columns, "signal"):
+                    probes[f"_pre_{c}"] = probes[c].to_numpy(dtype=float)
+                n_split = len(probes)
+                combined = pd.concat(
+                    [combined, probes], ignore_index=True
+                )
+                diagnostics.record_ledger(recovery_split_probes=n_split)
         combined = find_clusters(
             combined, sep, t_column=t_column, backend=find_backend
         )
@@ -542,7 +656,9 @@ def _refine_with_recovery(
             combined = find_clusters(
                 combined, sep, t_column=t_column, backend=find_backend
             )
-        n_recovered = int(len(new) - drop_dup.sum() - drop.sum())
+        n_recovered = int(
+            len(new) + n_split - drop_dup.sum() - drop.sum()
+        )
         if n_recovered == 0:
             break
         diagnostics.record_ledger(recovered_candidates=n_recovered)
@@ -577,6 +693,7 @@ def _refine_with_recovery(
         t_mark = time.perf_counter()
         old_ref, old_noise = _old_rms_on_footprint(
             combined, rreader, diameter, pos_columns, t_column,
+            host_frames=res_host,
         )
         # the residual cache (≤2 GiB of device frames) is never read
         # again this pass — release it before the device-heavy joint
@@ -864,7 +981,8 @@ def _refine_with_recovery(
     return f, n_spill
 
 
-def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
+def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column,
+                          host_frames=None):
     """Previous-model residual rms per cluster, on the cluster's own
     union-of-spheres footprint — refine's cost units (rms of
     residual/norm over the mask, norm = max member |signal|).
@@ -885,7 +1003,12 @@ def _old_rms_on_footprint(g, rreader, diameter, pos_columns, t_column):
     out = {}
     out_noise = {}
     for t, gt in g.groupby(t_column):
-        res = np.asarray(rreader[int(t)], dtype=np.float32)
+        # host_frames: residual frames already fetched this pass (the
+        # split-probe stage) — each device→host fetch is ~90 ms of
+        # tunnel time per 1024² frame, so fetch once per pass
+        res = (host_frames or {}).get(int(t))
+        if res is None:
+            res = np.asarray(rreader[int(t)], dtype=np.float32)
         # frame-global noise floor from a strided subsample: the median/
         # MAD of ~65k pixels estimates σ to ~0.4% (1/√n), and the full
         # 1M-pixel pair of medians was ~10% of the footprint stage wall

@@ -118,7 +118,9 @@ def test_recover_passes_finds_merged_features():
         + led.get("recovery_dropped_over_cap", 0)
     )
     assert (
-        led["residual_candidates"] - n_gates
+        led["residual_candidates"]
+        + led.get("recovery_split_probes", 0)
+        - n_gates
         == led["recovered_candidates"]
     )
     if led.get("ghosts_pruned"):
@@ -180,3 +182,62 @@ def test_dense_recovery_coverage():
     c2, g2 = cov(out2)
     assert c2 >= c1 - 0.01, (c1, c2)
     assert g2 <= g1 + max(g1 // 2, 5), (g1, g2)
+
+
+def test_split_probe_recovers_absorbed_pairs():
+    """Pairs at ~1.4·sigma separation merge into ONE blob with a single
+    maximum, and the main fit absorbs both members into one wider
+    Gaussian so well that no residual PEAK clears the locate gate.  The
+    quadrupole split-probe (signal-excess originals split along their
+    residual-quadrupole axis) must still recover both members; with the
+    probe disabled the pairs stay lost, which pins that the coverage
+    comes from the probe and not the lobe machinery."""
+    import numpy as np
+    import pandas as pd
+    from scipy.spatial import cKDTree
+
+    import clustertracking_tpu as ct
+    from clustertracking_tpu import artificial, pipeline
+
+    rng = np.random.default_rng(4)
+    rows = []
+    img = np.zeros((128, 128), np.float32)
+    # 4 well-separated singles (the signal-median reference population)
+    for k in range(4):
+        p = np.array([15.0 + 12 * k + rng.uniform(-1, 1),
+                      20.0 + rng.uniform(-1, 1)])
+        rows.append(p)
+    # 2 close pairs: d = 2.2 px at sigma 1.6 → single intensity maximum
+    for k in range(2):
+        c = np.array([40.0 + 30 * k + rng.uniform(-1, 1),
+                      85.0 + rng.uniform(-1, 1)])
+        ang = rng.uniform(0, np.pi)
+        v = np.array([np.sin(ang), np.cos(ang)])
+        rows.append(c + 1.1 * v)
+        rows.append(c - 1.1 * v)
+    truth = np.asarray(rows)
+    for p in truth:
+        artificial.draw_feature(img, p, 1.6, 150.0)
+    img += rng.normal(0, 2.0, img.shape).astype(np.float32)
+    reader = [img]
+
+    kw = dict(diameter=9, separation=6, search_range=3.0,
+              max_cluster_size=8)
+
+    def tracked(out):
+        ot = out[out["cost"].notna()][["y", "x"]].to_numpy()
+        d, _ = cKDTree(ot).query(truth, k=1)
+        return int((d < 1.0).sum())
+
+    old = pipeline._SPLIT_SIG_EXCESS
+    try:
+        pipeline._SPLIT_SIG_EXCESS = None
+        n_off = tracked(ct.track(reader, recover_passes=1, **kw))
+        pipeline._SPLIT_SIG_EXCESS = old
+        with ct.diagnostics.collect() as stats:
+            n_on = tracked(ct.track(reader, recover_passes=1, **kw))
+    finally:
+        pipeline._SPLIT_SIG_EXCESS = old
+    assert stats.ledger.get("recovery_split_probes", 0) > 0
+    assert n_off < len(truth), n_off
+    assert n_on == len(truth), (n_off, n_on)
