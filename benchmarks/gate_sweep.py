@@ -38,6 +38,8 @@ def main():
         lm=pipeline._REFIT_LM_MAX_ITER, mi=pipeline._REFIT_MAX_ITER,
         disp=pipeline._DISP_GATE, cap=24,
         split=pipeline._SPLIT_SIG_EXCESS,
+        ratio=pipeline._ACCEPT_RATIO, ev=pipeline._NOISE_EVIDENCE,
+        dup=pipeline._DUP_R_FRAC,
     )
     warm = set()
     for spec in specs:
@@ -52,6 +54,9 @@ def main():
         pipeline._DISP_GATE = (float(p["disp"]) if p["disp"] else None)
         pipeline._SPLIT_SIG_EXCESS = (float(p["split"]) if p["split"]
                                       else None)
+        pipeline._ACCEPT_RATIO = float(p["ratio"])
+        pipeline._NOISE_EVIDENCE = float(p["ev"])
+        pipeline._DUP_R_FRAC = float(p["dup"])
         kw = dict(base_kw, max_cluster_size=int(p["cap"]))
         wkey = (rp, int(p["cap"]))
         if wkey not in warm:
@@ -71,7 +76,10 @@ def main():
                           ("_REFIT_LM_MAX_ITER", "lm"),
                           ("_REFIT_MAX_ITER", "mi"),
                           ("_DISP_GATE", "disp"),
-                          ("_SPLIT_SIG_EXCESS", "split")):
+                          ("_SPLIT_SIG_EXCESS", "split"),
+                          ("_ACCEPT_RATIO", "ratio"),
+                          ("_NOISE_EVIDENCE", "ev"),
+                          ("_DUP_R_FRAC", "dup")):
             setattr(pipeline, attr, defaults[key])
 
 

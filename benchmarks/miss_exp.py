@@ -35,15 +35,23 @@ def main():
     from clustertracking_tpu import pipeline
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    # optional spec string like gate_sweep.py: k=6,rp=2,cap=32,ratio=0.9
+    p = dict(k=6.0, rp=1, cap=24, ratio=None, disp=-1.0, split=-1.0)
     if len(sys.argv) > 2:
-        pipeline._RECOVERY_NOISE_K = float(sys.argv[2])
+        for tok in sys.argv[2].split(","):
+            kk, v = tok.split("=")
+            p[kk] = float(v)
+    pipeline._RECOVERY_NOISE_K = p["k"]
     reader, truth = _video(n_frames, 10000, (1024, 1024), 5.0, seed=5)
     kw = dict(diameter=9, separation=6, search_range=3.0, memory=2,
               link_backend="auto", max_features=16384,
-              max_cluster_size=24)
+              max_cluster_size=int(p["cap"]),
+              recover_accept_ratio=p["ratio"],
+              recover_disp_gate=p["disp"],
+              recover_split_excess=p["split"])
     stash: dict = {}
     pipeline._DEBUG_STASH = stash
-    out = ct.track(reader, recover_passes=1, **kw)
+    out = ct.track(reader, recover_passes=int(p["rp"]), **kw)
     pipeline._DEBUG_STASH = None
     rec = score(out, truth, n_frames)
 

@@ -59,7 +59,7 @@ def main():
     reader, truth = _video(n_frames, 10000, (1024, 1024), 5.0, seed=5)
     kw = dict(diameter=9, separation=6, search_range=3.0, memory=2,
               link_backend="auto", max_features=16384,
-              max_cluster_size=24)
+              max_cluster_size=40)
     for rp in passes:
         ct.track(reader, recover_passes=rp, **kw)  # warm (jit compiles)
         with ct.diagnostics.collect() as stats:

@@ -463,7 +463,7 @@ def config5(n_frames=4, features_per_frame=10000):
     # on the scipy spill path
     kw = dict(diameter=9, separation=6, search_range=3.0, memory=2,
               link_backend="auto", max_features=16384,
-              max_cluster_size=24)
+              max_cluster_size=40)
     ct.track(reader, **kw)  # warm run: pays all jit compiles
     with ct.diagnostics.collect() as stats:
         t0 = time.perf_counter()

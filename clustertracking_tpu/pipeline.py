@@ -26,7 +26,13 @@ from .utils import default_pos_columns, validate_tuple
 # experiment toggles for the recovery pass (see _refine_with_recovery);
 # module-level so A/B measurements can flip them
 _BLEND_SPLIT = True
-_DISP_GATE = 2.0  # px; None disables the refit-displacement ghost gate
+# px; None disables the refit-displacement ghost gate.  3.5 (was 2.0):
+# measured at full config-5 scale the 2.0 gate had the worst precision
+# of any gate — 65% of its prunes were REAL recoveries (far-flank split
+# starts legitimately travel >2 px to their feature); 3.5 keeps the
+# runaway-fit kills (+0.4% coverage for +12 ghosts at 37k outputs).
+# Override per call: track(recover_disp_gate=...).
+_DISP_GATE = 3.5
 # Residual candidates CLOSER to an accepted fit than this fraction of
 # locate_separation are discarded as fit-imperfection lobes.  Measured
 # (mini config-5, 2k features): lowering to 0.25 admits ~200 more
@@ -35,7 +41,11 @@ _DISP_GATE = 2.0  # px; None disables the refit-displacement ghost gate
 _ON_TOP_FRAC = 0.5
 # likelihood accept: the joint refit rms must beat the previous model's
 # same-footprint residual rms by this factor...
-_ACCEPT_RATIO = 0.8
+# Likelihood-ratio accept: a cluster's joint refit must beat its
+# footprint's previous residual rms by this factor.  0.9 (was 0.8):
+# swept at full config-5 scale — +1.1% coverage for +0.1% ghost
+# fraction; override per call via track(recover_accept_ratio=...).
+_ACCEPT_RATIO = 0.9
 # shoulder-lobe gate: recovered candidates whose joint-refit signal is
 # below this fraction of the accepted population's median signal are
 # pruned (see the measured rationale at the gate site).  The threshold
@@ -82,10 +92,21 @@ _RECOVERY_NOISE_K = 6.0
 # Quadrupole split-probes (see the block in _refine_with_recovery):
 # originals carrying more than this multiple of the accepted-population
 # median signal are split-tested along their residual-quadrupole axis.
-# None/0 disables.  1.35 sits between the single-feature signal scatter
+# None/0 disables.  1.2 (swept at full config-5 scale: 1.35 → 91.4%
+# coverage, 1.2 → 92.3% with FEWER ghosts, 1.1 → 92.8% but +90 ghosts
+# and a 40 s refit wall) sits between the single-feature signal scatter
 # (~±15% at config-5 noise) and an absorbed pair's ~1.5-2.2×.
-_SPLIT_SIG_EXCESS = 1.35
+# Override per call: track(recover_split_excess=...).
+_SPLIT_SIG_EXCESS = 1.2
 _SPLIT_WINDOW = 9
+# Duplicate-prune radius as a fraction of min(locate_separation): an
+# accepted RECOVERED candidate closer than this to another accepted
+# feature is treated as a signal-split of one true feature.  Measured at
+# full config-5 scale (miss_exp.py at the 94.1% operating point): at
+# 0.5 (1.5 px) this gate was the LARGEST single killer of real features
+# (693 of 2362 misses — crowded truths legitimately sit closer than
+# 1.5 px); 0.35 recovered +0.8% coverage with ghosts flat.
+_DUP_R_FRAC = 0.35
 # shared byte cap for the device-resident frame caches
 # (_DeviceFrameCache and _ResidualReader) — together they bound the
 # pipeline's cache HBM at 2× this (ADVICE r3: the residual cache is
@@ -174,6 +195,9 @@ def track(
     checkpoint_every: int = 16,
     recover_passes: int = 0,
     recover_min_signal_frac: Optional[float] = None,
+    recover_accept_ratio: Optional[float] = None,
+    recover_disp_gate=-1.0,
+    recover_split_excess=-1.0,
     mesh=None,
     **refine_kwargs,
 ) -> pd.DataFrame:
@@ -188,6 +212,16 @@ def track(
     pair stands alone — and refits ALL features together (previous fits
     provide warm starts).  Passes stop early when a residual sweep finds
     nothing new.
+
+    Recovery accept gates (defaults are the full-scale-measured optimum;
+    see benchmarks/RESULTS.md): ``recover_accept_ratio`` — a cluster's
+    joint refit must beat its footprint's previous residual rms by this
+    factor (default 0.8; 0.9 measured +1.1% dense coverage for +0.3%
+    ghosts); ``recover_disp_gate`` — px a recovered candidate may move
+    during refit (None disables); ``recover_split_excess`` — signal
+    multiple of the population median above which an original is
+    split-tested along its residual-quadrupole axis (None disables);
+    ``recover_min_signal_frac`` — shoulder-lobe signal floor.
 
     ``reader[t]`` must yield frames (CoordinateReader, ndarray stack via a
     list, or any pims-like reader).
@@ -231,6 +265,9 @@ def track(
             recover_passes, recover_min_signal_frac, mesh, refine_kwargs,
             preprocess=preprocess, noise_size=noise_size,
             threshold_tile=threshold_tile,
+            accept_ratio=recover_accept_ratio,
+            disp_gate=recover_disp_gate,
+            split_excess=recover_split_excess,
         )
     reader = _DeviceFrameCache(reader)
     ndim0 = reader[0].ndim
@@ -261,6 +298,8 @@ def track(
         recover_passes, pos_columns, mesh, refine_kwargs,
         min_signal_frac=recover_min_signal_frac, preprocess=preprocess,
         noise_size=noise_size, threshold_tile=threshold_tile,
+        accept_ratio=recover_accept_ratio, disp_gate=recover_disp_gate,
+        split_excess=recover_split_excess,
     )
     t3 = time.perf_counter()
     ok = f["cost"].notna()
@@ -303,7 +342,8 @@ def _refine_with_recovery(
     threshold, percentile, max_features, find_backend, t_column,
     recover_passes, pos_columns, mesh, refine_kwargs,
     min_signal_frac=None, preprocess=None, noise_size=1.0,
-    threshold_tile=None,
+    threshold_tile=None, accept_ratio=None, disp_gate=-1.0,
+    split_excess=-1.0,
 ):
     """refine_leastsq + residual-relocate recovery passes (shared by the
     single-shot and checkpointed track paths).
@@ -313,6 +353,12 @@ def _refine_with_recovery(
     — where the missed partner of a blended pair stands alone — and
     refits ALL features together.  Returns (refined DataFrame, spill
     count for the ledger)."""
+    accept_ratio = (_ACCEPT_RATIO if accept_ratio is None
+                    else float(accept_ratio))
+    if isinstance(disp_gate, float) and disp_gate == -1.0:
+        disp_gate = _DISP_GATE
+    if isinstance(split_excess, float) and split_excess == -1.0:
+        split_excess = _SPLIT_SIG_EXCESS
     max_cluster = int(refine_kwargs.get("max_cluster_size", 8))
     n_spill = int((f["cluster_size"] > max_cluster).sum())
     f = refine_leastsq(
@@ -323,7 +369,7 @@ def _refine_with_recovery(
         from scipy.spatial import cKDTree
 
         t_pass = time.perf_counter()
-        dup_r = 0.5 * float(min(locate_separation))
+        dup_r = _DUP_R_FRAC * float(min(locate_separation))
         on_top_r = _ON_TOP_FRAC * float(min(locate_separation))
         acc = f[f["cost"].notna()]
         rreader = _ResidualReader(
@@ -544,7 +590,7 @@ def _refine_with_recovery(
         # as for lobe-triggered candidates.
         res_host: dict = {}
         n_split = 0
-        if _SPLIT_SIG_EXCESS:
+        if split_excess:
             med_sig_acc = float(acc["signal"].median())
             Dn = len(pos_columns)
             aniso_cols = [c for c in ("size_z", "size_y", "size_x")
@@ -559,7 +605,7 @@ def _refine_with_recovery(
             # mirrored originals already halved their signal, so they
             # fall below the excess threshold automatically
             sus = np.nonzero(
-                ~rec_c & (sig_c > _SPLIT_SIG_EXCESS * med_sig_acc)
+                ~rec_c & (sig_c > split_excess * med_sig_acc)
             )[0]
             if len(sus) and size_cols:
                 med_sz = float(np.mean(
@@ -808,7 +854,7 @@ def _refine_with_recovery(
             if (
                 np.isfinite(new_cost)
                 and np.isfinite(ref)
-                and new_cost <= _ACCEPT_RATIO * ref
+                and new_cost <= accept_ratio * ref
                 and evidence_ok
             ):
                 continue  # accepted: the candidates bought their place
@@ -900,7 +946,7 @@ def _refine_with_recovery(
         # residual (a ghost >1 px from any truth, measured at dense
         # scale).  Real recoveries stay within ~1 px of their lobe.
         n_disp = 0
-        if _DISP_GATE is not None:
+        if disp_gate is not None:
             disp = np.linalg.norm(
                 f[list(pos_columns)].to_numpy()
                 - pre_vals[:, : len(pos_columns)],
@@ -908,7 +954,7 @@ def _refine_with_recovery(
             )
             before = int(ghost.sum())
             ghost |= pd.Series(
-                recovered_col & (disp > _DISP_GATE), index=f.index
+                recovered_col & (disp > disp_gate), index=f.index
             )
             n_disp = int(ghost.sum()) - before
         # ...or the refit splits one true feature's signal across two
@@ -947,14 +993,14 @@ def _refine_with_recovery(
             dup_mask = gvals & ~np.asarray(
                 lr_mask | zero_mask
                 | (low.to_numpy() if sig_frac else False)
-                | ((recovered_col & (disp > _DISP_GATE))
-                   if _DISP_GATE is not None else False)
+                | ((recovered_col & (disp > disp_gate))
+                   if disp_gate is not None else False)
             )
             for name, m in (
                 ("duplicate", dup_mask),
                 ("displacement",
-                 (recovered_col & (disp > _DISP_GATE))
-                 if _DISP_GATE is not None else None),
+                 (recovered_col & (disp > disp_gate))
+                 if disp_gate is not None else None),
                 ("low_signal", low.to_numpy() if sig_frac else None),
                 ("zero_signal", zero_mask),
                 ("likelihood", lr_mask),
@@ -1560,6 +1606,7 @@ def _track_checkpointed(
     find_backend, t_column, checkpoint_dir, checkpoint_every,
     recover_passes, recover_min_signal_frac, mesh, refine_kwargs,
     preprocess=None, noise_size=1.0, threshold_tile=None,
+    accept_ratio=None, disp_gate=-1.0, split_excess=-1.0,
 ):
     """Chunked track with persisted state (resume-safe).
 
@@ -1625,6 +1672,8 @@ def _track_checkpointed(
                 t_column, recover_passes, pos_columns, mesh,
                 refine_kwargs,
                 min_signal_frac=recover_min_signal_frac,
+                accept_ratio=accept_ratio, disp_gate=disp_gate,
+                split_excess=split_excess,
                 preprocess=preprocess, noise_size=noise_size,
                 threshold_tile=threshold_tile,
             )
