@@ -15,7 +15,8 @@ Categories per missed truth feature (nearest-match within 1 px):
                   1 px: a detection-floor loss (lower noise_k or a
                   second matched-filter scale is the lever)
 
-Usage: python benchmarks/miss_exp.py [n_frames] [noise_k]
+Usage: python benchmarks/miss_exp.py [n_frames] [spec]
+  spec: gate_sweep-style tokens, e.g. k=6,rp=2,cap=32,ratio=0.9
 """
 import json
 import sys

@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["LMResult", "lm_solve", "lm_solve_global"]
 
@@ -85,6 +86,46 @@ def _chol_solve_unrolled(A, g):
 _UNROLL_MAX_V = 20
 
 
+# XLA:TPU's triangular_solve inverts diagonal blocks into SCOPED vmem
+# ([B, 1, V, V] f32 ≈ 10 bytes/element with its working copies —
+# measured 18.09 M for B=256, V=84 against the 16 M limit, a compile
+# failure for the dense n=28 ladder bucket).  Past this product the
+# damped solve switches to a row-substitution fori_loop: identical
+# arithmetic (same Cholesky factor), V steps of [B, V] VPU work, no
+# scoped blow-up, compact HLO.
+# The 16 MB scoped budget is SHARED with the rest of the solver's stack
+# (a B=160, V=84 triangular_solve still overflowed with the limit at
+# 1.2M elements), so the threshold is conservative: past it the
+# substitution path costs ~V extra loop steps per LM iteration, noise
+# next to the [B, V, npix] Jacobian sweep that dominates these buckets.
+_TRI_SOLVE_SCOPED_LIMIT = 200_000  # B*V*V elements
+
+
+def _tri_substitution_solve(L, b):
+    """Solve L Lᵀ x = b for lower-triangular L by forward+back
+    substitution (fori_loop over rows; batched over leading dims)."""
+    V = L.shape[-1]
+    iota = jnp.arange(V)
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+
+    def fwd(i, y):
+        row = jnp.take(L, i, axis=-2)                    # [..., V]
+        s = jnp.sum(jnp.where(iota < i, row * y, 0.0), axis=-1)
+        yi = (jnp.take(b, i, axis=-1) - s) / jnp.take(diag, i, axis=-1)
+        return y.at[..., i].set(yi)
+
+    y = jax.lax.fori_loop(0, V, fwd, jnp.zeros_like(b))
+
+    def bwd(k, x):
+        i = V - 1 - k
+        col = jnp.take(L, i, axis=-1)                    # L[..., j, i]
+        s = jnp.sum(jnp.where(iota > i, col * x, 0.0), axis=-1)
+        xi = (jnp.take(y, i, axis=-1) - s) / jnp.take(diag, i, axis=-1)
+        return x.at[..., i].set(xi)
+
+    return jax.lax.fori_loop(0, V, bwd, jnp.zeros_like(b))
+
+
 def _damped_solve(H, g, lam):
     """Solve (H + lam*diag(H) + eps*I) delta = -g, batched."""
     d = jnp.diagonal(H, axis1=-2, axis2=-1)
@@ -102,6 +143,10 @@ def _damped_solve(H, g, lam):
     # NaN rows -> the trial cost is NaN -> the step is rejected and
     # damping grows, exactly like the unrolled form's clamped sqrt.
     L = jnp.linalg.cholesky(A)
+    B = int(np.prod(H.shape[:-2])) if H.ndim > 2 else 1
+    V = H.shape[-1]
+    if B * V * V > _TRI_SOLVE_SCOPED_LIMIT:
+        return -_tri_substitution_solve(L, g)
     y = jax.lax.linalg.triangular_solve(
         L, -g[..., None], left_side=True, lower=True
     )

@@ -75,8 +75,8 @@ _TAG_RECOVERED = False
 # recovery-pass joint-refit iteration budget (None = uncapped, i.e. the
 # user's lm_max_iter/max_iter); see the rk_refit construction for the
 # measured rationale
-_REFIT_LM_MAX_ITER = 24
-_REFIT_MAX_ITER = 3
+_REFIT_LM_MAX_ITER = 16
+_REFIT_MAX_ITER = 2
 # matched-filter residual locate (smooth with the fitted PSF before
 # peak detection) — the recovery pass's detection-depth upgrade
 _MATCH_FILTER = True
@@ -570,7 +570,11 @@ def _refine_with_recovery(
         diagnostics.record_ledger(
             recovery_blend_mirrors=len(claiming),
             recovery_dropped_redundant_lobe=int(drop_dup.sum()),
+            recovery_prep_mirror_s=round(
+                time.perf_counter() - t_mark, 4
+            ),
         )
+        t_sub = time.perf_counter()
         if drop_dup.any():
             combined = combined[~drop_dup].reset_index(drop=True)
         # -------- quadrupole split-probes (absorbed blends) ----------
@@ -626,8 +630,15 @@ def _refine_with_recovery(
                 for t in np.unique(tcol_c[sus]):
                     res = res_host.get(int(t))
                     if res is None:
-                        res = np.asarray(rreader[int(t)],
-                                         dtype=np.float32)
+                        # fetch as f16: halves the ~90 ms/frame tunnel
+                        # transfer; the quadrupole axis and footprint
+                        # noise floors read these values through >=10%
+                        # decision margins, far above f16's ~0.1%
+                        import jax.numpy as _jnp
+
+                        res = np.asarray(
+                            _jnp.asarray(rreader[int(t)], _jnp.float16)
+                        ).astype(np.float32)
                         res_host[int(t)] = res
                     sel = np.nonzero(tcol_c[sus] == t)[0]
                     B = len(sel)
@@ -680,6 +691,10 @@ def _refine_with_recovery(
                     [combined, probes], ignore_index=True
                 )
                 diagnostics.record_ledger(recovery_split_probes=n_split)
+        diagnostics.record_ledger(
+            recovery_prep_split_s=round(time.perf_counter() - t_sub, 4)
+        )
+        t_sub = time.perf_counter()
         combined = find_clusters(
             combined, sep, t_column=t_column, backend=find_backend
         )
@@ -734,7 +749,8 @@ def _refine_with_recovery(
         rest = combined[~in_refit].copy()
         combined = combined[in_refit].reset_index(drop=True)
         diagnostics.record_ledger(
-            recovery_prep_s=round(time.perf_counter() - t_mark, 4)
+            recovery_prep_find_s=round(time.perf_counter() - t_sub, 4),
+            recovery_prep_s=round(time.perf_counter() - t_mark, 4),
         )
         t_mark = time.perf_counter()
         old_ref, old_noise = _old_rms_on_footprint(
@@ -1292,9 +1308,25 @@ class _ResidualReader:
             return res
         pos, sig, sizes, extras = entry
         shape = tuple(frame.shape)
-        smax = float(sizes.max()) if sizes.size else 1.0
+        # Window from a ROBUST size scale, not the max: one degenerate
+        # blended fit can carry sigma ~5x the population (free size
+        # params on a blob), and a max-derived window recompiles the
+        # render kernel per distinct extent — measured up to 84 px,
+        # which OOMs the v5e scoped vmem at compile.  Features wider
+        # than the robust scale render with tails truncated at the
+        # window edge; beyond 5 sigma of the robust scale that's <1e-5
+        # of the signal for everything but the rare rogue lane.
+        if sizes.size:
+            s_ref = float(
+                min(sizes.max(), 4.0 * max(np.median(sizes), 0.5))
+            )
+        else:
+            s_ref = 1.0
+        # quantize to 8-px steps so run-to-run size jitter reuses one
+        # compiled render kernel instead of paying a fresh axon compile
         window = tuple(
-            min(int(np.ceil(10 * smax)) + 1, int(d)) for d in shape
+            min(-(-(int(np.ceil(10 * s_ref)) + 1) // 8) * 8, int(d))
+            for d in shape
         )
         fidx = np.zeros(len(pos), np.int32)
         rendered = render_frames(

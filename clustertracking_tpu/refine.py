@@ -986,6 +986,11 @@ def _result_packer(compute_error: bool):
     return pack
 
 
+# A coarsened 8-step ladder (1,2,3,4,8,16,28,40) was measured SLOWER at
+# dense scale despite halving bucket dispatches (main fit 0.87 -> 2.46 s):
+# the populous size-5/6 clusters moved from the V=19 unrolled/pallas
+# solver tier into the V=25 XLA tier, and the solver-tier mix dominates
+# the ~54 ms/bucket dispatch round-trips it saved.
 _SIZE_LADDER = (1, 2, 3, 4, 6, 8, 10, 12, 16, 20, 24, 32)
 
 
@@ -1481,6 +1486,11 @@ def refine_leastsq(
                 wshape = tuple(
                     min(d, s) for d, s in zip(dyn, frame_shape)
                 )
+            import os as _os
+            import sys as _sys
+            if _os.environ.get("CT_DEBUG_BUCKETS"):
+                print(f"[bucket] n={n} wshape={wshape} B={Bpad}",
+                      file=_sys.stderr, flush=True)
             backend_tag = None
             if mesh is not None:
                 solver, layout, backend_tag = _mesh_bucket_solver(

@@ -258,3 +258,27 @@ def test_damped_solve_library_matches_unrolled():
         un = np.asarray(_chol_solve_unrolled(
             jnp.asarray(A.astype(np.float32)), jnp.asarray(g)))
         assert np.abs(-un - ref).max() / denom < 1e-4, V
+
+
+def test_tri_substitution_solve_parity():
+    """The scoped-vmem-safe substitution solve must match the library
+    triangular_solve pair to float32 roundoff (same Cholesky factor) —
+    it replaces it for B*V^2 past _TRI_SOLVE_SCOPED_LIMIT, where
+    XLA:TPU's block-inverting triangular_solve overflows scoped vmem."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clustertracking_tpu.ops.lm import _tri_substitution_solve
+
+    rng = np.random.default_rng(0)
+    B, V = 7, 61
+    M = rng.normal(size=(B, V, V)).astype(np.float32)
+    A = M @ np.transpose(M, (0, 2, 1)) + V * np.eye(V, dtype=np.float32)
+    b = rng.normal(size=(B, V)).astype(np.float32)
+    L = jnp.linalg.cholesky(jnp.asarray(A))
+    got = np.asarray(_tri_substitution_solve(L, jnp.asarray(b)))
+    want = np.linalg.solve(
+        A.astype(np.float64), b.astype(np.float64)[..., None]
+    )[..., 0]
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert err < 5e-5, err

@@ -548,9 +548,9 @@ def test_ladder_bucket_mixed_sizes():
         out = ct.refine_leastsq(
             f, img, diameter=9, separation=5.5, param_val={"size": 2.0},
         )
-    # ONE bucket (ladder size 6) served both clusters
+    # ONE ladder bucket served both clusters
     sizes = {b.cluster_size for b in stats.batches}
-    assert sizes == {6}, sizes
+    assert len(sizes) == 1 and min(sizes) >= 6, sizes
     assert out["cost"].notna().all()
     err = np.abs(out[["y", "x"]].to_numpy() - true_all).max()
     assert err < 0.02, err
