@@ -210,9 +210,18 @@ def config2(n_frames=100, reps=1):
     t0 = time.perf_counter()
     out_r = ct.track(reader, recover_passes=1, **kw)
     dt_r = time.perf_counter() - t0
+    # reduced-precision transfer variant: the ~2.2 s host→device frame
+    # push is the dominant config-2 stage on this tunnel; float16
+    # halves it with pixel quantization ~20x below the scene noise
+    out_h = ct.track(reader, transfer_dtype="float16", **kw)
+    t0 = time.perf_counter()
+    out_h = ct.track(reader, transfer_dtype="float16", **kw)
+    dt_h = time.perf_counter() - t0
     _emit({
         "config": 2, "metric": "pipeline_frames_per_sec_100feat",
         "value": round(n_frames / dt, 2), "unit": "frames/s",
+        "frames_per_sec_f16_transfer": round(n_frames / dt_h, 2),
+        "n_trajectories_f16_transfer": int(out_h["particle"].nunique()),
         "features_per_frame": int(len(out) / n_frames),
         "n_trajectories": int(n_traj),
         "n_trajectories_min10frames": int((lengths >= 10).sum()),

@@ -198,6 +198,7 @@ def track(
     recover_accept_ratio: Optional[float] = None,
     recover_disp_gate=-1.0,
     recover_split_excess=-1.0,
+    transfer_dtype=None,
     mesh=None,
     **refine_kwargs,
 ) -> pd.DataFrame:
@@ -269,7 +270,7 @@ def track(
             disp_gate=recover_disp_gate,
             split_excess=recover_split_excess,
         )
-    reader = _DeviceFrameCache(reader)
+    reader = _DeviceFrameCache(reader, transfer_dtype=transfer_dtype)
     ndim0 = reader[0].ndim
     if locate_separation is None:
         # cluster members sit CLOSER than `separation` by definition, so
@@ -1210,7 +1211,7 @@ class _DeviceFrameCache:
     """
 
     def __init__(self, reader, max_bytes: int = _FRAME_CACHE_BYTES,
-                 min_frames: int = 8):
+                 min_frames: int = 8, transfer_dtype=None):
         from collections import OrderedDict
 
         self._reader = reader
@@ -1218,6 +1219,13 @@ class _DeviceFrameCache:
         self._max_bytes = max_bytes
         self._min_frames = min_frames
         self._cap = None
+        # Optional reduced-precision host→device TRANSFER (frames are
+        # cast back to f32 on device): the tunnel moves ~45 MB/s, so a
+        # 100-frame 512² f32 video costs ~2.2 s of pure transfer — the
+        # single largest config-2 stage.  float16 halves it; quantizes
+        # pixel values to ~0.1% relative, below a 10-bit camera's
+        # quantization and ~20x below the benchmark scenes' noise.
+        self._transfer_dtype = transfer_dtype
 
     def __len__(self):
         return len(self._reader)
@@ -1229,7 +1237,10 @@ class _DeviceFrameCache:
         if t in self._cache:
             self._cache.move_to_end(t)
             return self._cache[t]
-        fr = jnp.asarray(np.asarray(self._reader[t]), jnp.float32)
+        fr_host = np.asarray(self._reader[t])
+        if self._transfer_dtype is not None:
+            fr_host = fr_host.astype(self._transfer_dtype)
+        fr = jnp.asarray(fr_host).astype(jnp.float32)
         if self._cap is None:
             self._cap = max(
                 self._min_frames, int(self._max_bytes // max(fr.nbytes, 1))
@@ -1424,9 +1435,19 @@ def _locate_frames(
     frame_numbers = list(frame_numbers)
     out = []
     i = 0
+    import os as _os
+    _dbg = _os.environ.get("CT_DEBUG_LOCATE")
     while i < len(frame_numbers):
+        _t0 = time.perf_counter()
         chunk = frame_numbers[i:i + stack_chunk]
         images = [reader[t] for t in chunk]
+        if _dbg:
+            import jax as _jax
+            for im in images:
+                if isinstance(im, _jax.Array):
+                    im.block_until_ready()
+            _t1 = time.perf_counter()
+            print(f"[locate] read+push {_t1 - _t0:.3f}", flush=True)
         if len({tuple(im.shape) for im in images}) != 1:
             for t, im in zip(chunk, images):
                 f_t = locate(
@@ -1464,7 +1485,14 @@ def _locate_frames(
                 stat_src = bp
             else:
                 stat_src = stack
-            flat = stat_src.reshape(T, -1)
+            # threshold statistics from a 4x-strided subsample: the
+            # exact median/percentile SORT every pixel (262k/frame on
+            # 512² — measured ~1.8 s of the config-2 locate wall);
+            # ~16k samples estimate the floors to ~1% of sigma
+            sub_ix = (slice(None),) + (slice(None, None, 4),) * (
+                stat_src.ndim - 1
+            )
+            flat = stat_src[sub_ix].reshape(T, -1)
             med = jnp.median(flat, axis=1)
             mad = jnp.median(jnp.abs(flat - med[:, None]), axis=1)
             # Quantized (integer-dtype) frames collapse the MAD to
@@ -1493,7 +1521,10 @@ def _locate_frames(
                 thr = jnp.full((T,), threshold, jnp.float32)
         else:
             stack_np = np.stack(images).astype(np.float32)
-            flat = stack_np.reshape(T, -1)
+            sub_ix = (slice(None),) + (slice(None, None, 4),) * (
+                stack_np.ndim - 1
+            )
+            flat = stack_np[sub_ix].reshape(T, -1)
             med = np.median(flat, axis=1).astype(np.float32)
             mad = np.median(np.abs(flat - med[:, None]), axis=1)
             # quantization-robust fallback when MAD collapses to 0 —
@@ -1527,7 +1558,10 @@ def _locate_frames(
             )
             loc_stack = gaussian_blur(jnp.asarray(stack, jnp.float32),
                                       sig)
-            sflat = loc_stack.reshape(T, -1)
+            sub_ix = (slice(None),) + (slice(None, None, 4),) * (
+                loc_stack.ndim - 1
+            )
+            sflat = loc_stack[sub_ix].reshape(T, -1)
             smed = jnp.median(sflat, axis=1)
             smad = jnp.median(jnp.abs(sflat - smed[:, None]), axis=1)
             snoise = 1.4826 * smad
@@ -1547,21 +1581,49 @@ def _locate_frames(
                 # explicit thresholds are in raw-amplitude units
                 thr = jnp.full((T,), threshold * att, jnp.float32)
 
-        coords, vals, valid, n_cand = jax.jit(
+        ndim = stack.ndim - 1
+        pos_columns = default_pos_columns(ndim)
+        from .ops.locate import feature_sizes
+        from .utils import validate_tuple as _vt
+
+        diam = _vt(diameter, ndim)
+        wshape = tuple(int(round(d)) | 1 for d in diam)
+        coords_d, vals_d, valid_d, n_cand_d = jax.jit(
             jax.vmap(
                 lambda im, th: local_maxima(im, sep, max_features, th)
             )
         )(jnp.asarray(loc_stack), jnp.asarray(thr))
-        coords = np.asarray(coords)
+        # per-candidate size estimate (trackpy.locate 'size' parity):
+        # radius of gyration about the peak — chained DEVICE-side off
+        # local_maxima's outputs, so all five results come back in ONE
+        # device_get round trip (five sequential np.asarray fetches paid
+        # the tunnel latency each — ~0.2 s per 64-frame chunk)
+        sizes_d = feature_sizes(
+            jnp.asarray(stack), coords_d.astype(jnp.int32), valid_d,
+            wshape,
+            tuple(d / 2.0 for d in diam), jnp.asarray(med, jnp.float32),
+            noise=jnp.asarray(noise, jnp.float32), per_axis=True,
+        )                                                # [T, K, D]
+        if _dbg:
+            _t2 = time.perf_counter()
+        coords, vals, valid, n_cand, sizes_ax = jax.device_get(
+            (coords_d, vals_d, valid_d, n_cand_d, sizes_d)
+        )
+        if _dbg:
+            print(f"[locate] enqueue {_t2 - _t1:.3f} "
+                  f"devget {time.perf_counter() - _t2:.3f}", flush=True)
+        # device_get buffers are read-only; the overflow fix-up and the
+        # size shrink below mutate in place
+        coords = np.array(coords)
         # rescale smoothed peak values back to amplitude units (the
         # warm-start signal column); -inf padding survives the scale
         vals = np.asarray(vals) * amp_corr
-        valid = np.asarray(valid)
-        n_cand = np.asarray(n_cand)
+        valid = np.array(valid)
+        sizes_ax = np.array(sizes_ax)
         # Saturated frames (more candidates than max_features) got a
         # raster-order truncation from the cumsum compaction; re-run just
         # those through the exact brightest-first top-k path.
-        for j in np.nonzero(n_cand > max_features)[0]:
+        for j in np.nonzero(np.asarray(n_cand) > max_features)[0]:
             from .ops.locate import local_maxima_topk
 
             c_j, v_j, ok_j, _ = local_maxima_topk(
@@ -1571,21 +1633,15 @@ def _locate_frames(
             coords[j] = np.asarray(c_j)
             vals[j] = np.asarray(v_j) * amp_corr
             valid[j] = np.asarray(ok_j)
-        ndim = stack.ndim - 1
-        pos_columns = default_pos_columns(ndim)
-        # per-candidate size estimate (trackpy.locate 'size' parity):
-        # radius of gyration about the peak, device-side, one dispatch
-        from .ops.locate import feature_sizes
-        from .utils import validate_tuple as _vt
-
-        diam = _vt(diameter, ndim)
-        wshape = tuple(int(round(d)) | 1 for d in diam)
-        sizes_ax = np.array(feature_sizes(
-            jnp.asarray(stack), jnp.asarray(coords, jnp.int32),
-            jnp.asarray(valid), wshape,
-            tuple(d / 2.0 for d in diam), jnp.asarray(med, jnp.float32),
-            noise=jnp.asarray(noise, jnp.float32), per_axis=True,
-        ))                                               # [T, K, D]
+            sizes_ax[j] = np.asarray(feature_sizes(
+                jnp.asarray(stack[j])[None],
+                jnp.asarray(coords[j], jnp.int32)[None],
+                jnp.asarray(valid[j])[None], wshape,
+                tuple(d / 2.0 for d in diam),
+                jnp.asarray(med[j :j + 1], jnp.float32),
+                noise=jnp.asarray(noise[j:j + 1], jnp.float32),
+                per_axis=True,
+            ))[0]
         if preprocess == "bandpass":
             # the noise_size Gaussian convolves the PSF: the moment
             # estimate reads sqrt(σ² + noise_size²) — deconvolve so the
@@ -1613,6 +1669,8 @@ def _locate_frames(
         from .utils import default_size_columns
 
         aniso_cols = default_size_columns(ndim, False)
+        if _dbg:
+            _t3 = time.perf_counter()
         for j, t in enumerate(chunk):
             ok = valid[j]
             f_t = pd.DataFrame(
@@ -1628,6 +1686,9 @@ def _locate_frames(
                     f_t[c] = sizes_ax[j, ok, ax]
             f_t[t_column] = t
             out.append(f_t)
+        if _dbg:
+            print(f"[locate] host-tail {time.perf_counter() - _t3:.3f}",
+                  flush=True)
         i += stack_chunk
     return pd.concat(out, ignore_index=True)
 
@@ -1658,7 +1719,7 @@ def _track_checkpointed(
     state_file = ckpt / "state.json"
     results_file = ckpt / "results.pkl"
 
-    reader = _DeviceFrameCache(reader)
+    reader = _DeviceFrameCache(reader, transfer_dtype=transfer_dtype)
     ndim0 = reader[0].ndim
     sep0 = separation if separation is not None else diameter
     if locate_separation is None:
