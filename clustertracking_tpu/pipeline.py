@@ -269,6 +269,7 @@ def track(
             accept_ratio=recover_accept_ratio,
             disp_gate=recover_disp_gate,
             split_excess=recover_split_excess,
+            transfer_dtype=transfer_dtype,
         )
     reader = _DeviceFrameCache(reader, transfer_dtype=transfer_dtype)
     ndim0 = reader[0].ndim
@@ -1700,6 +1701,7 @@ def _track_checkpointed(
     recover_passes, recover_min_signal_frac, mesh, refine_kwargs,
     preprocess=None, noise_size=1.0, threshold_tile=None,
     accept_ratio=None, disp_gate=-1.0, split_excess=-1.0,
+    transfer_dtype=None,
 ):
     """Chunked track with persisted state (resume-safe).
 
